@@ -1,0 +1,230 @@
+"""torch ``.pth`` <-> flax pytree checkpoint interop.
+
+The reference ecosystem exchanges weights as torch state_dicts
+(``pretrain/backbone.pth``, per-round ``backbone_%d.pth``, per-client
+``clients/client_%d/{backbone,bce_module}.pth``).  These converters keep the
+rebuild drop-in compatible: it can consume reference checkpoints and emit
+checkpoints the reference evaluation scripts could load.
+
+Layout conversions:
+* conv kernels: torch OIHW -> flax HWIO
+* dense kernels: torch (out, in) -> flax (in, out)
+* the flatten boundary before the embedding fc: torch flattens NCHW
+  (c*49 + h*7 + w) while the NHWC rebuild flattens (h*7*512 + w*512 + c),
+  so the fc kernel's input axis is permuted accordingly.
+* BatchNorm: weight/bias/running_mean/running_var -> scale/bias/mean/var.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor -> float32 numpy."""
+    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+
+def _conv(t) -> np.ndarray:
+    return _np(t).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _conv_back(k: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(k.transpose(3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _dense(t) -> np.ndarray:
+    return _np(t).T
+
+
+def _dense_flat(t, channels: int, hw: int = 7) -> np.ndarray:
+    """fc over flattened feature map: permute CHW input order to HWC."""
+    w = _np(t)  # (out, C*H*W)
+    out = w.shape[0]
+    return np.ascontiguousarray(
+        w.reshape(out, channels, hw, hw).transpose(2, 3, 1, 0).reshape(hw * hw * channels, out))
+
+
+def _dense_flat_back(k: np.ndarray, channels: int, hw: int = 7) -> np.ndarray:
+    out = k.shape[1]
+    return np.ascontiguousarray(
+        k.reshape(hw, hw, channels, out).transpose(3, 2, 0, 1).reshape(out, hw * hw * channels))
+
+
+def _bn_from(sd, key) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    params = {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+    stats = {"mean": _np(sd[f"{key}.running_mean"]), "var": _np(sd[f"{key}.running_var"])}
+    return params, stats
+
+
+# ---------------------------------------------------------------- sphnet
+
+_SPH_LAYERS = {20: (1, 2, 4, 1), 64: (3, 7, 16, 3)}
+
+
+def sphnet_from_torch(sd: Dict[str, Any], depth: int = 64) -> Dict[str, Any]:
+    """torch sphere state_dict -> flax variables {'params': ...}."""
+    params: Dict[str, Any] = {}
+    for stage, blocks in enumerate(_SPH_LAYERS[depth], start=1):
+        params[f"layer{stage}_conv"] = {
+            "kernel": _conv(sd[f"layer{stage}.0.weight"]),
+            "bias": _np(sd[f"layer{stage}.0.bias"]),
+        }
+        params[f"layer{stage}_prelu"] = {"alpha": _np(sd[f"layer{stage}.1.weight"])}
+        for b in range(blocks):
+            tb = f"layer{stage}.{2 + b}"
+            params[f"layer{stage}_block{b}"] = {
+                "conv1": {"kernel": _conv(sd[f"{tb}.conv1.weight"])},
+                "prelu1": {"alpha": _np(sd[f"{tb}.prelu1.weight"])},
+                "conv2": {"kernel": _conv(sd[f"{tb}.conv2.weight"])},
+                "prelu2": {"alpha": _np(sd[f"{tb}.prelu2.weight"])},
+            }
+    params["fc"] = {"kernel": _dense_flat(sd["fc.weight"], 512),
+                    "bias": _np(sd["fc.bias"])}
+    return {"params": params}
+
+
+def sphnet_to_torch(variables: Dict[str, Any], depth: int = 64) -> Dict[str, Any]:
+    import torch
+
+    p = variables["params"]
+    sd: Dict[str, Any] = {}
+
+    def t(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x, dtype=np.float32)))
+
+    for stage, blocks in enumerate(_SPH_LAYERS[depth], start=1):
+        sd[f"layer{stage}.0.weight"] = t(_conv_back(np.asarray(p[f"layer{stage}_conv"]["kernel"])))
+        sd[f"layer{stage}.0.bias"] = t(p[f"layer{stage}_conv"]["bias"])
+        sd[f"layer{stage}.1.weight"] = t(p[f"layer{stage}_prelu"]["alpha"])
+        for b in range(blocks):
+            fb = p[f"layer{stage}_block{b}"]
+            tb = f"layer{stage}.{2 + b}"
+            sd[f"{tb}.conv1.weight"] = t(_conv_back(np.asarray(fb["conv1"]["kernel"])))
+            sd[f"{tb}.prelu1.weight"] = t(fb["prelu1"]["alpha"])
+            sd[f"{tb}.conv2.weight"] = t(_conv_back(np.asarray(fb["conv2"]["kernel"])))
+            sd[f"{tb}.prelu2.weight"] = t(fb["prelu2"]["alpha"])
+    sd["fc.weight"] = t(_dense_flat_back(np.asarray(p["fc"]["kernel"]), 512))
+    sd["fc.bias"] = t(p["fc"]["bias"])
+    return sd
+
+
+# ---------------------------------------------------------------- iresnet
+
+_IRES_LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 14, 3),
+                100: (3, 13, 30, 3), 200: (6, 26, 60, 6)}
+
+
+def iresnet_from_torch(sd: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    """torch IResNet state_dict -> flax variables {'params', 'batch_stats'}."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    params["bn1"], stats["bn1"] = _bn_from(sd, "bn1")
+    params["prelu"] = {"alpha": _np(sd["prelu.weight"])}
+
+    inplanes = 64
+    for stage, (blocks, feats) in enumerate(zip(_IRES_LAYERS[depth], (64, 128, 256, 512)), start=1):
+        for b in range(blocks):
+            tb = f"layer{stage}.{b}"
+            name = f"layer{stage}_block{b}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            bp["bn1"], bs["bn1"] = _bn_from(sd, f"{tb}.bn1")
+            bp["conv1"] = {"kernel": _conv(sd[f"{tb}.conv1.weight"])}
+            bp["bn2"], bs["bn2"] = _bn_from(sd, f"{tb}.bn2")
+            bp["prelu"] = {"alpha": _np(sd[f"{tb}.prelu.weight"])}
+            bp["conv2"] = {"kernel": _conv(sd[f"{tb}.conv2.weight"])}
+            bp["bn3"], bs["bn3"] = _bn_from(sd, f"{tb}.bn3")
+            stride = 2 if b == 0 else 1
+            if stride != 1 or inplanes != feats:
+                bp["ds_conv"] = {"kernel": _conv(sd[f"{tb}.downsample.0.weight"])}
+                bp["ds_bn"], bs["ds_bn"] = _bn_from(sd, f"{tb}.downsample.1")
+            inplanes = feats
+            params[name] = bp
+            stats[name] = bs
+
+    params["bn2"], stats["bn2"] = _bn_from(sd, "bn2")
+    params["fc"] = {"kernel": _dense_flat(sd["fc.weight"], 512),
+                    "bias": _np(sd["fc.bias"])}
+    # features BN1d: scale is frozen at 1.0 in the reference (iresnet.py:99-100);
+    # the rebuild models it with use_scale=False.
+    feat_scale = _np(sd["features.weight"])
+    if not np.allclose(feat_scale, 1.0, atol=1e-5):
+        raise ValueError("features BN scale expected frozen at 1.0")
+    params["features"] = {"bias": _np(sd["features.bias"])}
+    stats["features"] = {"mean": _np(sd["features.running_mean"]),
+                         "var": _np(sd["features.running_var"])}
+    return {"params": params, "batch_stats": stats}
+
+
+def backbone_from_torch(name: str, sd: Dict[str, Any]) -> Dict[str, Any]:
+    if name.startswith("sphnet"):
+        depth = 20 if name == "sphnet20" else 64
+        return sphnet_from_torch(sd, depth)
+    if name.startswith("iresnet"):
+        return iresnet_from_torch(sd, int(name[len("iresnet"):]))
+    raise ValueError(f"unknown backbone '{name}'")
+
+
+def backbone_to_torch(name: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+    if name.startswith("sphnet"):
+        depth = 20 if name == "sphnet20" else 64
+        return sphnet_to_torch(variables, depth)
+    raise NotImplementedError(f"to_torch for '{name}' not implemented yet")
+
+
+# ---------------------------------------------------------------- BCE module
+
+def bce_from_torch(sd: Dict[str, Any], converter_layers: int = 1) -> Dict[str, Any]:
+    """torch BCE_module state_dict -> flax BCEModule params."""
+    params: Dict[str, Any] = {
+        "weight": _np(sd["weight"]),
+        "bias": _np(sd["bias"]),
+    }
+    if converter_layers == 1:
+        params["converter"] = {"dense": {"kernel": _dense(sd["converter.0.weight"]),
+                                         "bias": _np(sd["converter.0.bias"])}}
+    else:
+        conv: Dict[str, Any] = {}
+        for i in range(1, 5):
+            conv[f"br{i}_dense1"] = {"kernel": _dense(sd[f"converter.br{i}.0.weight"]),
+                                     "bias": _np(sd[f"converter.br{i}.0.bias"])}
+            conv[f"br{i}_dense2"] = {"kernel": _dense(sd[f"converter.br{i}.2.weight"]),
+                                     "bias": _np(sd[f"converter.br{i}.2.bias"])}
+        conv["concat_fc"] = {"kernel": _dense(sd["converter.concat_fc.weight"]),
+                             "bias": _np(sd["converter.concat_fc.bias"])}
+        params["converter"] = conv
+    return {"params": params}
+
+
+def bce_to_torch(variables: Dict[str, Any], converter_layers: int = 1) -> Dict[str, Any]:
+    import torch
+
+    p = variables["params"]
+
+    def t(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x, dtype=np.float32)))
+
+    sd = {"weight": t(p["weight"]), "bias": t(p["bias"])}
+    if converter_layers == 1:
+        sd["converter.0.weight"] = t(np.asarray(p["converter"]["dense"]["kernel"]).T)
+        sd["converter.0.bias"] = t(p["converter"]["dense"]["bias"])
+    else:
+        raise NotImplementedError
+    return sd
+
+
+def load_pth(path: str) -> Dict[str, Any]:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def save_pth(sd: Dict[str, Any], path: str) -> None:
+    import torch
+
+    torch.save(sd, path)

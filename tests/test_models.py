@@ -1,0 +1,153 @@
+"""Backbone/head construction, shape, and torch-parity tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fedfr_tpu.models import BCEModule, SphNet, IResNet, build_backbone, cosine_logits
+from fedfr_tpu.utils import torch_interop as ti
+
+from reference_oracle import load_module, load_class_source, skip_without_reference
+
+
+def _init_apply(model, x, train=False):
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return model.apply(variables, x, train=train,
+                       mutable=["batch_stats"] if train else False), variables
+
+
+def test_sphnet_shapes():
+    x = jnp.zeros((2, 112, 112, 3), jnp.float32)
+    model = SphNet(depth=20, bf16=False)
+    (out), variables = _init_apply(model, x)
+    assert out.shape == (2, 512)
+    assert out.dtype == jnp.float32
+
+
+def test_iresnet_shapes_and_batchstats():
+    x = jnp.ones((2, 112, 112, 3), jnp.float32)
+    model = IResNet(depth=18, bf16=False)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert "batch_stats" in variables
+    out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 512)
+    # train step must update running statistics
+    old = variables["batch_stats"]["bn1"]["mean"]
+    new = mutated["batch_stats"]["bn1"]["mean"]
+    assert not np.allclose(old, new)
+
+
+def test_factory():
+    assert isinstance(build_backbone("sphnet"), SphNet)
+    assert isinstance(build_backbone("iresnet50"), IResNet)
+    with pytest.raises(ValueError):
+        build_backbone("vit")
+
+
+def test_bce_module_basic():
+    model = BCEModule(hidden=16, n_class=5)
+    x = jnp.ones((4, 16))
+    labels = jnp.array([0, 2, 5, 7])  # labels >= n_class -> no positive
+    variables = model.init(jax.random.PRNGKey(0), x, labels)
+    logits, gt = model.apply(variables, x, labels)
+    assert logits.shape == (4, 5)
+    assert gt[0, 0] and gt[1, 2]
+    assert not gt[2].any() and not gt[3].any()
+    # identity converter at init: convert(x) == x
+    conv = model.apply(variables, x, method=model.convert)
+    np.testing.assert_allclose(np.asarray(conv), np.asarray(x), atol=1e-6)
+
+
+@skip_without_reference
+def test_sphnet_parity_with_reference():
+    import torch
+
+    ref = load_module("backbones/sphnet.py", "ref_sphnet")
+    torch.manual_seed(0)
+    tmodel = ref.sphere(20).eval()
+    variables = ti.sphnet_from_torch(tmodel.state_dict(), depth=20)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 112, 112), dtype=np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x)).numpy()
+
+    model = SphNet(depth=20, bf16=False)
+    jout = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(jout), tout, atol=2e-4, rtol=1e-3)
+
+
+@skip_without_reference
+def test_iresnet_parity_with_reference():
+    import torch
+
+    ref = load_module("backbones/iresnet.py", "ref_iresnet")
+    torch.manual_seed(0)
+    tmodel = ref.iresnet18(False).eval()
+    variables = ti.iresnet_from_torch(tmodel.state_dict(), depth=18)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 3, 112, 112), dtype=np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x)).numpy()
+
+    model = IResNet(depth=18, bf16=False)
+    jout = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(jout), tout, atol=2e-4, rtol=1e-3)
+
+
+@skip_without_reference
+def test_sphnet_to_torch_roundtrip():
+    import torch
+
+    ref = load_module("backbones/sphnet.py", "ref_sphnet2")
+    torch.manual_seed(3)
+    tmodel = ref.sphere(20).eval()
+    variables = ti.sphnet_from_torch(tmodel.state_dict(), depth=20)
+    sd_back = ti.sphnet_to_torch(variables, depth=20)
+    for k, v in tmodel.state_dict().items():
+        np.testing.assert_allclose(sd_back[k].numpy(), v.numpy(), atol=1e-6, err_msg=k)
+
+
+@skip_without_reference
+def test_bce_module_parity_with_reference():
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    ns = {"torch": torch, "nn": tnn, "F": F, "BottleBlock": None}
+    RefBCE = load_class_source("client.py", "BCE_module", ns)
+    torch.manual_seed(0)
+    tmod = RefBCE(32, 6, converter_layer=1).eval()
+    variables = ti.bce_from_torch(tmod.state_dict(), converter_layers=1)
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((5, 32), dtype=np.float32)
+    labels = np.array([0, 3, 5, 6, 9])
+    with torch.no_grad():
+        tlogits, tgt = tmod(torch.from_numpy(x), torch.from_numpy(labels))
+
+    model = BCEModule(hidden=32, n_class=6)
+    jlogits, jgt = model.apply(variables, jnp.asarray(x), jnp.asarray(labels))
+    np.testing.assert_array_equal(np.asarray(jgt), tgt.numpy())
+    np.testing.assert_allclose(np.asarray(jlogits), tlogits.numpy(), atol=1e-4, rtol=1e-4)
+
+
+@skip_without_reference
+def test_cosine_fc_parity_with_reference():
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    ns = {"torch": torch, "nn": tnn, "F": F}
+    RefFC = load_class_source("client.py", "FC_module", ns)
+    torch.manual_seed(1)
+    tmod = RefFC(16, 4, "/tmp")
+    weight = tmod.fc.data.numpy()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, 16), dtype=np.float32)
+    with torch.no_grad():
+        tout = tmod(torch.from_numpy(x)).numpy()
+    jout = cosine_logits(jnp.asarray(x), jnp.asarray(weight))
+    np.testing.assert_allclose(np.asarray(jout), tout, atol=1e-5, rtol=1e-5)
