@@ -40,9 +40,9 @@ def bce_loss(logits: jnp.ndarray, gt: jnp.ndarray, r: float = 30.0,
     z = logits.astype(jnp.float32)
     # log(1 + exp(+-z) + eps): clamp the exp argument for fp32 safety; beyond
     # ~60 the log is z itself to float precision.
-    pos = (lambda_ / r) * jnp.log1p(jnp.exp(jnp.clip(-z, a_max=60.0)) + 1e-8)
+    pos = (lambda_ / r) * jnp.log1p(jnp.exp(jnp.clip(-z, max=60.0)) + 1e-8)
     pos = jnp.where(z < -60.0, (lambda_ / r) * (-z), pos)
-    neg = ((1.0 - lambda_) / r) * jnp.log1p(jnp.exp(jnp.clip(z, a_max=60.0)) + 1e-8)
+    neg = ((1.0 - lambda_) / r) * jnp.log1p(jnp.exp(jnp.clip(z, max=60.0)) + 1e-8)
     neg = jnp.where(z > 60.0, ((1.0 - lambda_) / r) * z, neg)
     per_row = jnp.sum(jnp.where(gt, pos, neg), axis=1)
     return _masked_mean(per_row, valid)

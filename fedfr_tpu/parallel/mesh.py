@@ -1,0 +1,57 @@
+"""Device-mesh construction for the federated + model-parallel axes.
+
+One logical mesh with axes ``(client, data, model)``:
+
+* ``client`` — federated simulation axis: K clients train concurrently on
+  mesh sub-slices; FedAvg is a weighted mean over this axis (replaces the
+  reference's sequential in-process loop, server.py:283-316).
+* ``data``   — data parallelism within a client (replaces nn.DataParallel).
+* ``model``  — class sharding for the partial FC softmax (replaces the
+  torch.distributed collectives of partial_fc.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("client", "data", "model")
+
+
+def make_mesh(shape: Optional[Tuple[int, int, int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (client, data, model) mesh over the available devices.
+
+    Default layout puts every device on the ``client`` axis — the federated
+    simulation is embarrassingly parallel and ICI is only needed at
+    aggregation time.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1, 1)
+    if math.prod(shape) != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, AXES)
+
+
+def model_mesh(num_shards: Optional[int] = None) -> Mesh:
+    """A mesh with every device on the ``model`` axis (partial-FC layout)."""
+    devices = jax.devices()
+    if num_shards is not None:
+        devices = devices[:num_shards]
+    n = len(devices)
+    return Mesh(np.asarray(devices).reshape(1, 1, n), AXES)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_over(mesh: Mesh, axis: str) -> NamedSharding:
+    return NamedSharding(mesh, P(axis))

@@ -8,7 +8,8 @@ train.py:21-35) and enables multi-chip sharding tests without TPUs
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: sitecustomize may have imported jax already (TPU plugin autoload), so
+# plain env vars are too late — jax.config.update below is the reliable path.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -20,6 +21,7 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/fedfr_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

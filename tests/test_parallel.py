@@ -1,0 +1,196 @@
+"""Partial FC sharding, FedAvg, SpreadOut tests on a virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fedfr_tpu.models.heads import l2_normalize
+from fedfr_tpu.ops import cosface, softmax_cross_entropy
+from fedfr_tpu.parallel import (
+    fed_weighted_average,
+    fedavg_on_fc,
+    make_mesh,
+    model_mesh,
+    pad_classes,
+    partial_fc_loss,
+    sampled_partial_fc_loss,
+    spreadout,
+    stack_trees,
+    unstack_tree,
+)
+
+
+def _reference_full_loss(features, labels, weight, s=30.0, m=0.4):
+    cos = jnp.dot(l2_normalize(features), l2_normalize(weight).T)
+    logits = cosface(cos, labels, s, m)
+    return softmax_cross_entropy(logits, labels)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("client", "data", "model")
+    mm = model_mesh()
+    assert mm.shape["model"] == 8
+
+
+def test_partial_fc_matches_full_softmax():
+    mesh = model_mesh()
+    rng = np.random.default_rng(0)
+    B, C, E = 16, 24, 32  # C divisible by 8 shards
+    feats = jnp.asarray(rng.standard_normal((B, E), dtype=np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, E), dtype=np.float32) * 0.01)
+    labels = jnp.asarray(rng.integers(0, C, B, dtype=np.int32))
+
+    loss_fn = partial_fc_loss(mesh, "CosFace", 30.0, 0.4)
+    sharded = jax.jit(loss_fn)(feats, labels, weight)
+    dense = _reference_full_loss(feats, labels, weight)
+    np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-5)
+
+
+def test_partial_fc_gradients_match_dense():
+    mesh = model_mesh()
+    rng = np.random.default_rng(1)
+    B, C, E = 16, 24, 8
+    feats = jnp.asarray(rng.standard_normal((B, E), dtype=np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, E), dtype=np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(0, C, B, dtype=np.int32))
+
+    loss_fn = partial_fc_loss(mesh, "CosFace", 30.0, 0.4)
+    gf_s, gw_s = jax.jit(jax.grad(loss_fn, argnums=(0, 2)))(feats, labels, weight)
+    gf_d, gw_d = jax.grad(
+        lambda f, w: _reference_full_loss(f, labels, w), argnums=(0, 1))(feats, weight)
+    np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_d), atol=1e-5)
+
+
+def test_partial_fc_with_padded_classes():
+    mesh = model_mesh()
+    rng = np.random.default_rng(2)
+    B, C, E = 16, 21, 8  # 21 classes -> pad to 24 over 8 shards
+    feats = jnp.asarray(rng.standard_normal((B, E), dtype=np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, E), dtype=np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(0, C, B, dtype=np.int32))
+
+    padded, num_valid = pad_classes(weight, 8)
+    assert padded.shape[0] == 24 and num_valid == 21
+    loss_fn = partial_fc_loss(mesh, "CosFace", 30.0, 0.4, num_valid=num_valid)
+    sharded = jax.jit(loss_fn)(feats, labels, padded)
+    dense = _reference_full_loss(feats, labels, weight)
+    np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-5)
+
+
+def test_partial_fc_ignores_invalid_labels():
+    mesh = model_mesh()
+    rng = np.random.default_rng(3)
+    B, C, E = 16, 16, 8
+    feats = jnp.asarray(rng.standard_normal((B, E), dtype=np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, E), dtype=np.float32) * 0.1)
+    labels = np.asarray(rng.integers(0, C, B, dtype=np.int32))
+    labels[3] = -1
+    labels[9] = -1
+    loss_fn = partial_fc_loss(mesh)
+    sharded = jax.jit(loss_fn)(feats, jnp.asarray(labels), weight)
+    keep = labels >= 0
+    dense = _reference_full_loss(feats[keep], jnp.asarray(labels[keep]), weight)
+    np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-5)
+
+
+def test_sampled_partial_fc_full_rate_matches_dense():
+    mesh = model_mesh()
+    rng = np.random.default_rng(4)
+    B, C, E = 16, 24, 8
+    feats = jnp.asarray(rng.standard_normal((B, E), dtype=np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, E), dtype=np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(0, C, B, dtype=np.int32))
+    # num_sample == num_local: sampling must degenerate to the full softmax
+    loss_fn = sampled_partial_fc_loss(mesh, num_sample=C // 8)
+    sharded = jax.jit(loss_fn)(jax.random.PRNGKey(0), feats, labels, weight)
+    dense = _reference_full_loss(feats, labels, weight)
+    np.testing.assert_allclose(float(sharded), float(dense), rtol=1e-5)
+
+
+def test_sampled_partial_fc_partial_rate_runs_and_keeps_positives():
+    mesh = model_mesh()
+    rng = np.random.default_rng(5)
+    B, C, E = 16, 64, 8
+    feats = jnp.asarray(rng.standard_normal((B, E), dtype=np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, E), dtype=np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(0, C, B, dtype=np.int32))
+    loss_fn = sampled_partial_fc_loss(mesh, num_sample=4)  # 4 of 8 per shard
+    loss = jax.jit(loss_fn)(jax.random.PRNGKey(1), feats, labels, weight)
+    assert np.isfinite(float(loss))
+    g = jax.jit(jax.grad(loss_fn, argnums=3))(jax.random.PRNGKey(1), feats, labels, weight)
+    # rows never sampled get zero gradient
+    row_norms = np.linalg.norm(np.asarray(g), axis=1)
+    assert (row_norms == 0).sum() >= C - 8 * 4 - B
+
+
+def test_fed_weighted_average_matches_reference_math():
+    rng = np.random.default_rng(6)
+    trees = [{"w": jnp.asarray(rng.standard_normal((3, 4), dtype=np.float32)),
+              "bn": {"mean": jnp.asarray(rng.standard_normal(4, dtype=np.float32))}}
+             for _ in range(3)]
+    weights = jnp.asarray([10.0, 30.0, 60.0])
+    stacked = stack_trees(trees)
+    avg = fed_weighted_average(stacked, weights)
+    expect = sum(float(w) / 100.0 * np.asarray(t["w"]) for w, t in zip(weights, trees))
+    np.testing.assert_allclose(np.asarray(avg["w"]), expect, rtol=1e-5)
+    # running stats are averaged exactly like weights (server.py:29-33)
+    expect_bn = sum(float(w) / 100.0 * np.asarray(t["bn"]["mean"]) for w, t in zip(weights, trees))
+    np.testing.assert_allclose(np.asarray(avg["bn"]["mean"]), expect_bn, rtol=1e-5)
+    back = unstack_tree(stacked, 3)
+    np.testing.assert_array_equal(np.asarray(back[1]["w"]), np.asarray(trees[1]["w"]))
+
+
+def test_fedavg_on_fc_interpolation():
+    rng = np.random.default_rng(7)
+    pre = jnp.asarray(rng.standard_normal((5, 4), dtype=np.float32))
+    stack = jnp.asarray(rng.standard_normal((2, 5, 4), dtype=np.float32))
+    w = jnp.asarray([1.0, 3.0])
+    full = fedavg_on_fc(pre, stack, w, p=1.0)
+    expect = 0.25 * np.asarray(stack[0]) + 0.75 * np.asarray(stack[1])
+    np.testing.assert_allclose(np.asarray(full), expect, rtol=1e-5)
+    half = fedavg_on_fc(pre, stack, w, p=0.5)
+    np.testing.assert_allclose(np.asarray(half), 0.5 * np.asarray(pre) + 0.5 * expect,
+                               rtol=1e-5)
+
+
+def test_spreadout_matches_torch_sgd():
+    """Independent torch-autograd oracle of the SpreadOut objective
+    (server.py:48-63 math, momentum-SGD with weight decay)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(8)
+    fc0 = rng.standard_normal((12, 6), dtype=np.float32)
+
+    tfc = torch.nn.Parameter(torch.from_numpy(fc0.copy()))
+    opt = torch.optim.SGD([tfc], lr=0.01, momentum=0.9, weight_decay=5e-4)
+    n = fc0.shape[0]
+    eye = torch.eye(n, dtype=torch.bool)
+    for _ in range(5):
+        opt.zero_grad()
+        fcn = F.normalize(tfc)
+        sim = fcn @ fcn.t()
+        loss = torch.mean(F.relu(sim.masked_select(~eye) - 0.4) ** 2)
+        loss.backward()
+        opt.step()
+
+    out = spreadout(jnp.asarray(fc0), margin=0.4, iters=5, lr=0.01,
+                    momentum=0.9, weight_decay=5e-4, mode="mean")
+    np.testing.assert_allclose(np.asarray(out), tfc.detach().numpy(), atol=2e-5)
+
+
+def test_spreadout_reduces_similarity():
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((1, 8)).astype(np.float32)
+    fc = np.repeat(base, 10, axis=0) + 0.01 * rng.standard_normal((10, 8)).astype(np.float32)
+    before = np.asarray(jnp.dot(jnp.asarray(fc), jnp.asarray(fc).T))
+    out = np.asarray(spreadout(jnp.asarray(fc), margin=0.4, iters=50, lr=0.05))
+    outn = out / np.linalg.norm(out, axis=1, keepdims=True)
+    fcn = fc / np.linalg.norm(fc, axis=1, keepdims=True)
+    sim_before = (fcn @ fcn.T)[~np.eye(10, dtype=bool)].mean()
+    sim_after = (outn @ outn.T)[~np.eye(10, dtype=bool)].mean()
+    assert sim_after < sim_before
