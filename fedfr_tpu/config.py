@@ -31,6 +31,7 @@ class DataConfig:
     num_workers: int = 6                # host decode threads
     prefetch: int = 2                   # device prefetch depth
     use_native_loader: bool = True      # C++ data plane when available
+    image_size: int = 112               # square input resolution
 
     @property
     def split_dir(self) -> str:

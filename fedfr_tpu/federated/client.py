@@ -1,0 +1,208 @@
+"""Client: local trainer for one federated participant.
+
+Orchestration analog of the reference Client (client.py:116-582), with all
+math in the jitted steps of ``trainer.py``.  State lives in explicit pytrees;
+between rounds the heavyweight pieces (last-round backbone, BCE params, local
+FC) persist on host, and the train state is assembled on device per round.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FedFRConfig
+from ..data.datasets import BatchLoader, CombinedDataset, FaceRecordDataset
+from ..utils.optim import step_lr
+from .embed import class_mean_features, embed_dataset, hard_negative_mask, make_embed_fn
+from .state import ClientTrainState
+from .trainer import init_client_state, make_branch_train_step, make_plain_train_step
+
+logger = logging.getLogger("fedfr_tpu.client")
+
+
+class Client:
+    def __init__(self, cid: int, cfg: FedFRConfig, dataset: FaceRecordDataset,
+                 backbone, bce_module, rng: np.random.Generator):
+        self.cid = cid
+        self.cfg = cfg
+        self.dataset = dataset
+        self.backbone = backbone
+        self.bce_module = bce_module
+        self.num_classes = int(dataset.num_classes or 0)
+        self.dataset_size = len(dataset)
+        self.id_base = int(dataset.id_base or cid * self.num_classes)
+        self.target_ids = list(range(self.id_base, self.id_base + self.num_classes))
+        self.rng = rng
+
+        E = cfg.model.embedding_size
+        key = jax.random.PRNGKey(cfg.runtime.seed + 1000 + cid)
+        # FC_module init: N(0, 0.01) rows (client.py:66)
+        self.fc_local = np.asarray(
+            0.01 * jax.random.normal(key, (self.num_classes, E)), np.float32)
+        self.bce_vars: Optional[Dict[str, Any]] = None
+        if cfg.fed.bce_local:
+            bkey = jax.random.PRNGKey(cfg.runtime.seed + 2000 + cid)
+            self.bce_vars = jax.device_get(bce_module.init(
+                bkey, jnp.zeros((1, E)), jnp.zeros((1,), jnp.int32)))
+        # MOON "last model": randomly initialized at client creation
+        # (client.py:153), replaced by the trained backbone after each round.
+        if cfg.fed.contrastive:
+            lkey = jax.random.PRNGKey(cfg.runtime.seed + 3000 + cid)
+            hw = cfg.data.image_size
+            self.last_backbone = jax.device_get(backbone.init(
+                lkey, jnp.zeros((1, hw, hw, 3)), train=False))
+        else:
+            self.last_backbone = None
+
+        self.last_loss = 0.0
+        self.trained_backbone: Optional[Dict[str, Any]] = None
+        self.global_fc: Optional[np.ndarray] = None
+
+        self._embed_fn = make_embed_fn(backbone)
+
+    # ------------------------------------------------------------- FC init
+
+    def init_fc_from_means(self, backbone_vars, normalize_before: bool = False) -> None:
+        """Mean-embedding FC initialization (reference data_update_fc,
+        client.py:159-188)."""
+        feats, labels = embed_dataset(self._embed_fn, backbone_vars, self.dataset,
+                                      self.cfg.data.eval_batch_size, l2norm=False)
+        self.fc_local = class_mean_features(feats, labels, self.num_classes,
+                                            normalize_before)
+
+    def init_bce_from_fc(self) -> None:
+        """BCE weight := local FC rows (reference server.py:128-133)."""
+        if self.bce_vars is not None:
+            self.bce_vars = dict(self.bce_vars)
+            params = dict(self.bce_vars["params"])
+            params["weight"] = jnp.asarray(self.fc_local)
+            self.bce_vars["params"] = params
+
+    # ------------------------------------------------------------ training
+
+    def select_hard_negatives(self, backbone_vars, public_dataset: FaceRecordDataset,
+                              public_feats: np.ndarray,
+                              public_labels: np.ndarray) -> FaceRecordDataset:
+        """Feature-based mining (client.py:191-224): embed the local set with
+        the current backbone, keep public images with cos-sim > threshold."""
+        local_feats, _ = embed_dataset(self._embed_fn, backbone_vars, self.dataset,
+                                       self.cfg.data.eval_batch_size, l2norm=True)
+        mask = hard_negative_mask(local_feats, public_feats,
+                                  self.cfg.fed.hn_threshold)
+        imgidx = np.nonzero(mask)[0] + 1  # record keys are 1-based
+        num_ids = len(np.unique(public_labels[mask])) if mask.any() else 0
+        logger.info("client %d: %d imgs (%d IDs) hard negative @ > %.2f",
+                    self.cid, len(imgidx), num_ids, self.cfg.fed.hn_threshold)
+        if len(imgidx) == 0:
+            imgidx = np.array([1])
+        return public_dataset.subset(imgidx)
+
+    def train_with_public_data(self, backbone_vars, public_dataset,
+                               pretrained_fc: np.ndarray,
+                               public_feats: Optional[np.ndarray],
+                               public_labels: Optional[np.ndarray],
+                               local_epochs: int, train_decay: int,
+                               step_fn=None, round_seed: int = 0) -> Dict[str, float]:
+        """One local run of the joint objective (client.py:287-508)."""
+        cfg = self.cfg
+        if public_feats is not None:
+            public_subset = self.select_hard_negatives(
+                backbone_vars, public_dataset, public_feats, public_labels)
+        else:
+            public_subset = public_dataset
+        combined = CombinedDataset(self.dataset, public_subset)
+        self.dataset_size = len(combined)  # FedAvg weight update (client.py:303)
+
+        loader = BatchLoader(combined, cfg.data.combined_batch_size, shuffle=True,
+                             seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+                             drop_last=True, num_workers=cfg.data.num_workers)
+
+        # assemble device state: fc = [local ; global] (client.py:313)
+        fc = jnp.concatenate([jnp.asarray(self.fc_local), jnp.asarray(pretrained_fc)])
+        state = init_client_state(
+            jax.tree_util.tree_map(jnp.asarray, backbone_vars), fc,
+            jax.tree_util.tree_map(jnp.asarray, self.bce_vars))
+        global_vars = jax.tree_util.tree_map(jnp.asarray, backbone_vars)
+        last_vars = (jax.tree_util.tree_map(jnp.asarray, self.last_backbone)
+                     if self.last_backbone is not None else global_vars)
+
+        if step_fn is None:
+            step_fn = make_branch_train_step(
+                self.backbone, self.bce_module, margin=cfg.loss.loss,
+                s=cfg.loss.margin_s, m=cfg.loss.margin_m,
+                bce_weight=cfg.loss.bce_weight, bce_r=cfg.loss.bce_r,
+                bce_lambda=cfg.loss.bce_lambda, mu=cfg.loss.mu,
+                temperature=cfg.loss.temperature, momentum=cfg.optim.momentum,
+                weight_decay=cfg.optim.weight_decay, bce_detach=cfg.fed.bce_detach,
+                contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
+                num_local=self.num_classes, num_clients=cfg.data.num_clients)
+
+        key = jax.random.PRNGKey(cfg.runtime.seed + 31 * round_seed + self.cid)
+        loss_sum = np.zeros(4)
+        n_steps = 0
+        for epoch in range(local_epochs):
+            lr = step_lr(cfg.optim.lr, epoch, train_decay, cfg.optim.lr_gamma)
+            for imgs, labels, valid in loader.epoch():
+                key, sub = jax.random.split(key)
+                state, metrics = step_fn(state, global_vars, last_vars,
+                                         jnp.asarray(imgs), jnp.asarray(labels),
+                                         jnp.asarray(valid), lr, sub)
+                n_steps += 1
+            # pull metrics once per epoch (avoid per-step device sync)
+            m = jax.device_get(metrics)
+            loss_sum += np.array([m.loss, m.cos_loss, m.bce_loss, m.con_loss])
+            logger.info("client %d epoch %d/%d lr %.5f loss %.3f (cos %.3f bce %.3f con %.3f)",
+                        self.cid, epoch + 1, local_epochs, lr,
+                        float(m.loss), float(m.cos_loss), float(m.bce_loss),
+                        float(m.con_loss))
+
+        # persist results on host
+        state = jax.device_get(state)
+        fc_np = np.asarray(state.fc)
+        self.fc_local = fc_np[: self.num_classes]
+        self.global_fc = fc_np[self.num_classes:]
+        self.bce_vars = state.bce
+        self.trained_backbone = state.backbone
+        if self.last_backbone is not None:
+            self.last_backbone = state.backbone
+        self.last_loss = float(loss_sum[0] / max(local_epochs, 1))
+        return {"loss": self.last_loss, "steps": n_steps,
+                "dataset_size": self.dataset_size}
+
+    def train(self, backbone_vars, local_epochs: int, lr: float,
+              step_fn=None, round_seed: int = 0) -> Dict[str, float]:
+        """Plain CosFace-only local training (client.py:511-571)."""
+        cfg = self.cfg
+        loader = BatchLoader(self.dataset, cfg.data.batch_size, shuffle=True,
+                             seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+                             drop_last=False, num_workers=cfg.data.num_workers)
+        state = init_client_state(
+            jax.tree_util.tree_map(jnp.asarray, backbone_vars),
+            jnp.asarray(self.fc_local), None)
+        if step_fn is None:
+            step_fn = make_plain_train_step(
+                self.backbone, margin=cfg.loss.loss, s=cfg.loss.margin_s,
+                m=cfg.loss.margin_m, momentum=cfg.optim.momentum,
+                weight_decay=cfg.optim.weight_decay)
+        key = jax.random.PRNGKey(cfg.runtime.seed + 31 * round_seed + self.cid)
+        last_loss = jnp.zeros(())
+        n_steps = 0
+        for _ in range(local_epochs):
+            for imgs, labels, valid in loader.epoch():
+                key, sub = jax.random.split(key)
+                state, last_loss = step_fn(state, jnp.asarray(imgs),
+                                           jnp.asarray(labels), jnp.asarray(valid),
+                                           lr, sub)
+                n_steps += 1
+        state = jax.device_get(state)
+        self.fc_local = np.asarray(state.fc)
+        self.trained_backbone = state.backbone
+        self.last_loss = float(last_loss)
+        self.dataset_size = len(self.dataset)
+        return {"loss": self.last_loss, "steps": n_steps,
+                "dataset_size": self.dataset_size}

@@ -1,0 +1,127 @@
+"""Batched embedding extraction and feature-space utilities.
+
+Replaces every DataParallel embed loop in the reference (server.py:242-263,
+eval_local.py:107-152, local_all.py:180-222) with one jitted fixed-shape
+forward reused across eval and mining.  Host supplies uint8 batches; padding
+rows of the final batch are discarded after the forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .state import normalize_images
+
+
+def make_embed_fn(backbone, bce_module=None) -> Callable:
+    """jit: (variables, u8 NHWC batch[, converter params]) -> (B, E) float32.
+
+    With ``bce_module``/converter params the features pass through the
+    personalized transformation layer (nn.Sequential(backbone, converter),
+    reference local_all.py:354-359).
+    """
+
+    @jax.jit
+    def embed(variables, u8, bce_params=None):
+        x = normalize_images(u8)
+        feats = backbone.apply(variables, x, train=False)
+        if bce_params is not None:
+            feats = bce_module.apply({"params": bce_params}, feats,
+                                     method=bce_module.convert)
+        return feats
+
+    if bce_module is None:
+        return lambda variables, u8: embed(variables, u8)
+    return embed
+
+
+@functools.partial(jax.jit, static_argnames=("flip",))
+def _flip_sum(feats, feats_flip, flip: bool):
+    return feats + feats_flip if flip else feats
+
+
+def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
+                  flip_test: bool = False, l2norm: bool = True,
+                  bce_params=None, progress: Optional[Callable] = None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Embed every active item of a record dataset -> (N, E) feats, (N,) labels.
+
+    Deterministic order (dataset order, no shuffle).  ``flip_test`` sums the
+    embeddings of the image and its horizontal mirror (reference
+    local_all.py:209-215).
+    """
+    n = len(dataset)
+    feats_out = None
+    labels_out = np.empty(n, dtype=np.int64)
+    args = (bce_params,) if bce_params is not None else ()
+
+    from ..data.datasets import BatchLoader
+
+    loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    pos = 0
+    for imgs, labels, valid in loader.epoch():
+        nvalid = int(valid.sum())
+        u8 = jnp.asarray(imgs)
+        f = embed_fn(variables, u8, *args)
+        if flip_test:
+            f = f + embed_fn(variables, u8[:, :, ::-1, :], *args)
+        f = np.asarray(f)[:nvalid]
+        if feats_out is None:
+            feats_out = np.empty((n, f.shape[1]), dtype=np.float32)
+        feats_out[pos:pos + nvalid] = f
+        labels_out[pos:pos + nvalid] = labels[:nvalid]
+        pos += nvalid
+        if progress is not None:
+            progress(pos, n)
+    if l2norm:
+        norms = np.linalg.norm(feats_out, axis=1, keepdims=True)
+        feats_out = feats_out / np.maximum(norms, 1e-12)
+    return feats_out, labels_out
+
+
+def class_mean_features(feats: np.ndarray, labels: np.ndarray,
+                        num_classes: int, normalize_before: bool = False
+                        ) -> np.ndarray:
+    """Per-class mean embedding (FC initialization, reference client.py:159-188)."""
+    f = feats
+    if normalize_before:
+        f = f / np.maximum(np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+    out = np.zeros((num_classes, f.shape[1]), dtype=np.float32)
+    counts = np.zeros(num_classes, dtype=np.int64)
+    np.add.at(out, labels, f)
+    np.add.at(counts, labels, 1)
+    return out / np.maximum(counts[:, None], 1)
+
+
+@jax.jit
+def _chunk_max_sim(local_feats, public_chunk):
+    """max over local rows of cosine similarity for one public chunk."""
+    sim = jnp.dot(public_chunk, local_feats.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    return jnp.max(sim, axis=1)
+
+
+def hard_negative_mask(local_feats: np.ndarray, public_feats: np.ndarray,
+                       threshold: float, chunk: int = 65536) -> np.ndarray:
+    """Boolean mask over public images with cos-sim > threshold to ANY local
+    image (feature-based hard-negative mining, reference client.py:191-224).
+
+    Both inputs must be l2-normalized.  Tiled matmul on device; O(N_pub) memory.
+    """
+    n = public_feats.shape[0]
+    lf = jnp.asarray(local_feats)
+    out = np.empty(n, dtype=np.float32)
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        buf = public_feats[start:end]
+        if end - start < chunk:  # pad to static shape for jit reuse
+            buf = np.concatenate([buf, np.zeros((chunk - (end - start), buf.shape[1]),
+                                                buf.dtype)])
+        ms = np.asarray(_chunk_max_sim(lf, jnp.asarray(buf)))
+        out[start:end] = ms[: end - start]
+    return out > threshold

@@ -1,0 +1,258 @@
+"""Server: the federated coordinator.
+
+Orchestration analog of the reference Server (server.py:68-371): holds the
+global backbone, dispatches sampled clients each round, aggregates with
+dataset-size-weighted FedAvg over every state leaf (BN statistics included),
+averages the shared global FC, and optionally SpreadOuts the local class
+centers.  Evaluation is delegated to pluggable callbacks (evalsuite).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FedFRConfig
+from ..data.datasets import AllClientData
+from ..models import BCEModule, build_backbone
+from ..parallel.fedavg import fed_weighted_average, fedavg_on_fc, spreadout, stack_trees
+from ..utils import torch_interop
+from .client import Client
+from .embed import class_mean_features, embed_dataset, make_embed_fn
+from .trainer import make_branch_train_step
+
+logger = logging.getLogger("fedfr_tpu.server")
+
+
+class Server:
+    def __init__(self, cfg: FedFRConfig, data: AllClientData,
+                 eval_callback: Optional[Callable] = None,
+                 local_eval_callback: Optional[Callable] = None):
+        self.cfg = cfg
+        self.data = data
+        self.eval_callback = eval_callback
+        self.local_eval_callback = local_eval_callback
+        self.rng = np.random.default_rng(cfg.runtime.seed)
+
+        self.backbone = build_backbone(cfg.model.network, cfg.model.embedding_size,
+                                       cfg.model.dropout, cfg.model.bf16)
+        self.bce_module = BCEModule(cfg.model.embedding_size,
+                                    data.train_class_sizes[0],
+                                    cfg.model.converter_layers,
+                                    m=cfg.loss.bce_margin, r=cfg.loss.bce_scale,
+                                    t=cfg.loss.bce_t)
+        self._embed_fn = make_embed_fn(self.backbone)
+
+        # global federated model
+        pre_root = cfg.runtime.pretrained_root
+        bb_path = os.path.join(pre_root, "backbone.pth") if pre_root else ""
+        if bb_path and os.path.exists(bb_path):
+            sd = torch_interop.load_pth(bb_path)
+            self.federated_vars = torch_interop.backbone_from_torch(
+                cfg.model.network, sd)
+            logger.info("loaded pretrained backbone from %s", bb_path)
+        else:
+            key = jax.random.PRNGKey(cfg.runtime.seed)
+            hw = cfg.data.image_size
+            self.federated_vars = jax.device_get(self.backbone.init(
+                key, jnp.zeros((1, hw, hw, 3)), train=False))
+            logger.info("train from scratch")
+
+        self.clients: List[Client] = [
+            Client(cid, cfg, data.client(cid), self.backbone, self.bce_module,
+                   self.rng)
+            for cid in range(cfg.data.num_clients)]
+
+        # clients sampled for per-round local verification (server.py:107)
+        self.local_candidates = sorted(
+            self.rng.permutation(cfg.data.num_clients)[
+                : cfg.fed.num_local_eval_clients].tolist())
+        logger.info("local veri candidates %s", self.local_candidates)
+
+        self.local_epoch = cfg.fed.local_epochs
+        self.train_decay = cfg.optim.train_decay
+        self.global_round = 0
+        self.global_epoch = 0
+        self.current_client_list: List[int] = []
+
+        # pretrained (public) FC + labels
+        self.pretrained_fc: Optional[np.ndarray] = None
+        self.pretrained_labels: Optional[np.ndarray] = None
+        if cfg.fed.add_pretrained_data:
+            self._init_pretrain_fc()
+        if cfg.fed.init_fc:
+            self.initialize_local_fcs()
+        if cfg.fed.bce_local:
+            for c in self.clients:
+                c.init_bce_from_fc()
+
+        # shared compiled train step across all clients (identical shapes)
+        self._branch_step = None
+
+    # ------------------------------------------------------------- FC init
+
+    def _init_pretrain_fc(self) -> None:
+        cfg = self.cfg
+        pre_root = cfg.runtime.pretrained_root
+        fc_path = os.path.join(pre_root, "fc.pth") if pre_root else ""
+        lbl_path = os.path.join(pre_root, "preCos_pretrain_labels.pth") if pre_root else ""
+        if lbl_path and os.path.exists(lbl_path):
+            self.pretrained_labels = np.asarray(
+                torch_interop.load_pth(lbl_path).numpy(), dtype=np.int64)
+            logger.info("loaded pretrain labels %s", self.pretrained_labels.shape)
+        elif self.data.public_dataset is not None:
+            self.pretrained_labels = self.data.public_dataset.all_labels().astype(np.int64)
+
+        if (not cfg.fed.init_fc) and fc_path and os.path.exists(fc_path):
+            self.pretrained_fc = np.asarray(
+                torch_interop.load_pth(fc_path).numpy(), dtype=np.float32)
+            logger.info("loaded pretrained perfect FC %s", self.pretrained_fc.shape)
+        else:
+            # mean-embedding init over the public set (server.py:182-240)
+            feats, labels = embed_dataset(
+                self._embed_fn, self.federated_vars, self.data.public_dataset,
+                cfg.data.public_batch_size, l2norm=False)
+            n_ids = int(labels.max()) + 1
+            self.pretrained_fc = class_mean_features(feats, labels, n_ids)
+            logger.info("generated pretrain FC %s", self.pretrained_fc.shape)
+
+    def initialize_local_fcs(self) -> None:
+        """Mean-embedding init of every client's local FC (server.py:157-180)."""
+        for c in self.clients:
+            c.init_fc_from_means(self.federated_vars)
+            logger.info("client %d FC initialized", c.cid)
+
+    # ------------------------------------------------------------ rounds
+
+    def generate_public_features(self) -> np.ndarray:
+        """Per-round embed of the whole public set for HN mining
+        (server.py:242-263)."""
+        feats, _ = embed_dataset(self._embed_fn, self.federated_vars,
+                                 self.data.public_dataset,
+                                 self.cfg.data.public_batch_size, l2norm=True)
+        return feats
+
+    def sample_clients(self) -> List[int]:
+        n = self.cfg.data.num_clients
+        k = int(round(self.cfg.fed.client_sampled_ratio * n))
+        return sorted(self.rng.choice(n, size=k, replace=False).tolist())
+
+    def train_round(self) -> Dict[str, float]:
+        cfg = self.cfg
+        if not self.current_client_list:
+            self.current_client_list = self.sample_clients()
+
+        public_feats = None
+        if cfg.fed.add_pretrained_data:
+            public_feats = self.generate_public_features()
+
+        # adaptive local-epoch schedule (server.py:278-280)
+        if cfg.fed.adaptive_local_epoch and self.global_round != 0:
+            self.local_epoch = max(4, self.local_epoch - 2)
+            self.train_decay = max(1, int(3 / 4 * self.local_epoch))
+
+        if self._branch_step is None and cfg.fed.add_pretrained_data:
+            self._branch_step = make_branch_train_step(
+                self.backbone, self.bce_module, margin=cfg.loss.loss,
+                s=cfg.loss.margin_s, m=cfg.loss.margin_m,
+                bce_weight=cfg.loss.bce_weight, bce_r=cfg.loss.bce_r,
+                bce_lambda=cfg.loss.bce_lambda, mu=cfg.loss.mu,
+                temperature=cfg.loss.temperature, momentum=cfg.optim.momentum,
+                weight_decay=cfg.optim.weight_decay, bce_detach=cfg.fed.bce_detach,
+                contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
+                num_local=self.clients[0].num_classes,
+                num_clients=cfg.data.num_clients)
+
+        models, fcs, sizes, losses = [], [], [], []
+        for pos, cid in enumerate(self.current_client_list):
+            client = self.clients[cid]
+            logger.info("round %d [%d/%d] client %d training", self.global_round,
+                        pos + 1, len(self.current_client_list), cid)
+            if cfg.fed.add_pretrained_data:
+                stats = client.train_with_public_data(
+                    self.federated_vars, self.data.public_dataset,
+                    self.pretrained_fc, public_feats, self.pretrained_labels,
+                    self.local_epoch, self.train_decay,
+                    step_fn=self._branch_step, round_seed=self.global_round)
+            else:
+                lr = self.cfg.optim.lr
+                stats = client.train(self.federated_vars, self.local_epoch, lr,
+                                     round_seed=self.global_round)
+            losses.append(stats["loss"])
+            sizes.append(stats["dataset_size"])
+            models.append(client.trained_backbone)
+            if cfg.fed.return_all and client.global_fc is not None:
+                fcs.append(client.global_fc)
+            if self.local_eval_callback is not None and cid in self.local_candidates:
+                self.local_eval_callback(self, client)
+
+        weights = jnp.asarray(sizes, jnp.float32)
+        logger.info("round %d avg client loss %.5f", self.global_round,
+                    float(np.mean(losses)))
+
+        # FedAvg over every leaf, BN stats included (server.py:322-338)
+        stacked = stack_trees([jax.tree_util.tree_map(jnp.asarray, m) for m in models])
+        self.federated_vars = jax.device_get(fed_weighted_average(stacked, weights))
+
+        if cfg.fed.return_all and fcs:
+            self.pretrained_fc = np.asarray(fedavg_on_fc(
+                jnp.asarray(self.pretrained_fc), jnp.stack([jnp.asarray(f) for f in fcs]),
+                weights, p=1.0))
+
+        if cfg.fed.spreadout:
+            self.spread_out()
+
+        self.global_epoch += self.local_epoch
+        self.global_round += 1
+        return {"avg_loss": float(np.mean(losses))}
+
+    def spread_out(self) -> None:
+        """SpreadOut over the sampled clients' local FCs (server.py:340-371)."""
+        cfg = self.cfg
+        fcs = [self.clients[cid].fc_local for cid in self.current_client_list]
+        fc_all = jnp.asarray(np.concatenate(fcs, axis=0))
+        out = np.asarray(spreadout(
+            fc_all, margin=cfg.fed.spreadout_margin, iters=cfg.fed.spreadout_iters,
+            lr=cfg.optim.lr * 10, momentum=cfg.optim.momentum,
+            weight_decay=cfg.optim.weight_decay, mode=cfg.fed.spreadout_mode))
+        start = 0
+        for cid in self.current_client_list:
+            n = self.clients[cid].num_classes
+            self.clients[cid].fc_local = out[start:start + n]
+            start += n
+
+    def test(self) -> Optional[Dict[str, float]]:
+        if self.eval_callback is not None:
+            return self.eval_callback(self)
+        return None
+
+    # --------------------------------------------------------- checkpoints
+
+    def save_round_checkpoint(self, output_dir: str) -> str:
+        """torch-compatible per-round global backbone (server.py:148)."""
+        os.makedirs(output_dir, exist_ok=True)
+        path = os.path.join(output_dir, f"backbone_{self.global_round}.pth")
+        sd = torch_interop.backbone_to_torch(self.cfg.model.network,
+                                             self.federated_vars)
+        torch_interop.save_pth(sd, path)
+        return path
+
+    def save_client_checkpoints(self, output_dir: str) -> None:
+        """Per-client backbone + bce_module artifacts (client.py:484-495)."""
+        for c in self.clients:
+            if c.trained_backbone is None:
+                continue
+            cdir = os.path.join(output_dir, "clients", f"client_{c.cid}")
+            os.makedirs(cdir, exist_ok=True)
+            sd = torch_interop.backbone_to_torch(self.cfg.model.network,
+                                                 c.trained_backbone)
+            torch_interop.save_pth(sd, os.path.join(cdir, "backbone.pth"))
+            if c.bce_vars is not None:
+                bsd = torch_interop.bce_to_torch(c.bce_vars,
+                                                 self.cfg.model.converter_layers)
+                torch_interop.save_pth(bsd, os.path.join(cdir, "bce_module.pth"))

@@ -1,0 +1,155 @@
+"""Jitted local-training steps for the FedFR objective.
+
+Pure functions ``(state, batch, lr, rng) -> (state', metrics)`` compiled once
+and reused across every client and round (static shapes: the combined batch
+size, FC row count, and image size are fixed per configuration).
+
+The branch step reproduces the reference hot loop (client.py:355-404):
+
+    loss = CE(margin(cos_logits), labels)
+         + 10 * BCE(transformation-layer logits)
+         + mu * MOON-contrastive(feats; global model, last-round model)
+
+with SGD(momentum 0.9, wd 5e-4) over backbone+FC+BCE jointly, and BatchNorm
+batch_stats updated functionally in the same step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.heads import cosine_logits
+from ..ops.losses import bce_loss, moon_contrastive, softmax_cross_entropy
+from ..ops.margins import MARGINS, reweight_negatives
+from ..utils.optim import SGDState, sgd_init, sgd_update
+from .state import ClientTrainState, train_preprocess
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    cos_loss: jnp.ndarray
+    bce_loss: jnp.ndarray
+    con_loss: jnp.ndarray
+
+
+def _apply_backbone(backbone, variables, x, train: bool):
+    """Run the backbone; returns (feats, new_variables)."""
+    if train and "batch_stats" in variables:
+        feats, mutated = backbone.apply(variables, x, train=True, mutable=["batch_stats"])
+        new_vars = dict(variables, batch_stats=mutated["batch_stats"])
+        return feats, new_vars
+    feats = backbone.apply(variables, x, train=False)
+    return feats, variables
+
+
+def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
+                           s: float = 30.0, m: float = 0.4,
+                           bce_weight: float = 10.0, bce_r: float = 30.0,
+                           bce_lambda: float = 0.7, mu: float = 5.0,
+                           temperature: float = 0.5, momentum: float = 0.9,
+                           weight_decay: float = 5e-4, bce_detach: bool = False,
+                           contrastive: bool = True, reweight: bool = False,
+                           num_local: int = 100, num_clients: int = 40,
+                           donate: bool = True) -> Callable:
+    """Train step for the joint local+public objective with the BCE branch."""
+    margin_fn = MARGINS[margin]
+
+    def step(state: ClientTrainState, global_vars, last_vars,
+             images_u8, labels, valid, lr, rng):
+        x = train_preprocess(rng, images_u8)
+
+        def loss_fn(train_params, batch_stats):
+            variables = {"params": train_params["backbone"]}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            feats, new_vars = _apply_backbone(backbone, variables, x, train=True)
+
+            cos = cosine_logits(feats, train_params["fc"])
+            logits = margin_fn(cos, labels, s, m)
+            if reweight:
+                logits = reweight_negatives(logits, labels, num_local, num_clients)
+            cos_l = softmax_cross_entropy(logits, labels, valid)
+
+            bce_feats = jax.lax.stop_gradient(feats) if bce_detach else feats
+            bce_logits, gts = bce_module.apply({"params": train_params["bce"]},
+                                               bce_feats, labels)
+            bce_l = bce_loss(bce_logits, gts, bce_r, bce_lambda, valid)
+
+            if contrastive:
+                gfeats, _ = _apply_backbone(backbone, global_vars, x, train=False)
+                lfeats, _ = _apply_backbone(backbone, last_vars, x, train=False)
+                con_l = moon_contrastive(feats, gfeats, lfeats, temperature, valid)
+            else:
+                con_l = jnp.zeros(())
+
+            total = cos_l + bce_weight * bce_l + mu * con_l
+            aux = (new_vars.get("batch_stats"), StepMetrics(total, cos_l, bce_l, con_l))
+            return total, aux
+
+        train_params = {"backbone": state.backbone["params"], "fc": state.fc,
+                        "bce": state.bce["params"]}
+        bs = state.backbone.get("batch_stats")
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(train_params, bs)
+        new_params, new_opt = sgd_update(train_params, grads, state.opt, lr,
+                                         momentum, weight_decay)
+        new_backbone = {"params": new_params["backbone"]}
+        if new_bs is not None:
+            new_backbone["batch_stats"] = new_bs
+        new_state = ClientTrainState(
+            backbone=new_backbone, fc=new_params["fc"],
+            bce={"params": new_params["bce"]}, opt=new_opt)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_plain_train_step(backbone, *, margin: str = "CosFace", s: float = 30.0,
+                          m: float = 0.4, momentum: float = 0.9,
+                          weight_decay: float = 5e-4, reweight: bool = False,
+                          num_local: int = 100, num_clients: int = 40,
+                          donate: bool = True) -> Callable:
+    """CosFace-only local training (reference Client.train, client.py:511-571)."""
+    margin_fn = MARGINS[margin]
+
+    def step(state: ClientTrainState, images_u8, labels, valid, lr, rng):
+        x = train_preprocess(rng, images_u8)
+
+        def loss_fn(train_params, batch_stats):
+            variables = {"params": train_params["backbone"]}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            feats, new_vars = _apply_backbone(backbone, variables, x, train=True)
+            cos = cosine_logits(feats, train_params["fc"])
+            logits = margin_fn(cos, labels, s, m)
+            if reweight:
+                logits = reweight_negatives(logits, labels, num_local, num_clients)
+            loss = softmax_cross_entropy(logits, labels, valid)
+            return loss, new_vars.get("batch_stats")
+
+        train_params = {"backbone": state.backbone["params"], "fc": state.fc}
+        bs = state.backbone.get("batch_stats")
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params, bs)
+        new_params, new_opt = sgd_update(train_params, grads, state.opt, lr,
+                                         momentum, weight_decay)
+        new_backbone = {"params": new_params["backbone"]}
+        if new_bs is not None:
+            new_backbone["batch_stats"] = new_bs
+        new_state = ClientTrainState(backbone=new_backbone, fc=new_params["fc"],
+                                     bce=state.bce, opt=new_opt)
+        return new_state, loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_client_state(backbone_vars: Dict[str, Any], fc: jnp.ndarray,
+                      bce_vars: Optional[Dict[str, Any]] = None) -> ClientTrainState:
+    """Fresh optimizer buffers around existing module variables."""
+    trainable = {"backbone": backbone_vars["params"], "fc": fc}
+    if bce_vars is not None:
+        trainable["bce"] = bce_vars["params"]
+    return ClientTrainState(backbone=backbone_vars, fc=fc, bce=bce_vars,
+                            opt=sgd_init(trainable))

@@ -6,12 +6,33 @@ from __future__ import annotations
 
 from flax import linen as nn
 
+import jax.numpy as jnp
+
 from .iresnet import IResNet
+from .layers import batch_norm, conv3x3, dense_fp32
 from .sphnet import SphNet
+
+
+class ToyNet(nn.Module):
+    """Tiny conv embedder (global-avg-pool, any input size) for tests/smoke."""
+
+    embedding_size: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv3x3(16, stride=2, name="conv1")(x)
+        x = batch_norm(train, name="bn1")(x)
+        x = nn.relu(x)
+        x = conv3x3(32, stride=2, name="conv2")(x)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return dense_fp32(self.embedding_size, name="fc")(x)
 
 
 def build_backbone(name: str, embedding_size: int = 512, dropout: float = 0.0,
                    bf16: bool = True) -> nn.Module:
+    if name == "toy":
+        return ToyNet(embedding_size=embedding_size)
     if name == "sphnet":
         return SphNet(depth=64, embedding_size=embedding_size, bf16=bf16)
     if name == "sphnet20":

@@ -1,0 +1,165 @@
+"""End-to-end federated engine tests on a synthetic multi-client dataset."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fedfr_tpu.config import FedFRConfig
+from fedfr_tpu.data import codec, write_split
+from fedfr_tpu.data.datasets import AllClientData, FaceRecordDataset
+from fedfr_tpu.federated import Server
+from fedfr_tpu.federated.embed import embed_dataset, hard_negative_mask, make_embed_fn
+from fedfr_tpu.models import build_backbone
+
+
+NUM_CLIENTS = 3
+IDS_PER_CLIENT = 3
+IMG = 32
+
+
+def _write_client_split(root, cid, rng, imgs_per_id=8):
+    payloads, labels = [], []
+    for local_id in range(IDS_PER_CLIENT):
+        base = rng.integers(0, 200, size=(IMG, IMG, 3))
+        for _ in range(imgs_per_id):
+            img = np.clip(base + rng.integers(-20, 20, size=(IMG, IMG, 3)), 0, 255)
+            payloads.append(codec.encode_raw(img.astype(np.uint8)))
+            labels.append(local_id)
+    os.makedirs(root, exist_ok=True)
+    write_split(os.path.join(root, "train.idx"), os.path.join(root, "train.rec"),
+                payloads, labels, num_classes=IDS_PER_CLIENT,
+                id_base=cid * IDS_PER_CLIENT)
+
+
+@pytest.fixture(scope="module")
+def fl_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fl")
+    rng = np.random.default_rng(7)
+    split = root / ("split_train_i%04dc%04d" % (NUM_CLIENTS * IDS_PER_CLIENT, NUM_CLIENTS))
+    for c in range(NUM_CLIENTS):
+        _write_client_split(str(split / ("client_%04d" % c)), c, rng)
+    # public set: 5 ids x 6 imgs
+    pub = root / "split_pretrain_6000" / "client_0000"
+    os.makedirs(pub, exist_ok=True)
+    payloads, labels = [], []
+    for pid in range(5):
+        base = rng.integers(0, 200, size=(IMG, IMG, 3))
+        for _ in range(6):
+            img = np.clip(base + rng.integers(-20, 20, size=(IMG, IMG, 3)), 0, 255)
+            payloads.append(codec.encode_raw(img.astype(np.uint8)))
+            labels.append(pid)
+    write_split(str(pub / "train.idx"), str(pub / "train.rec"),
+                payloads, labels, num_classes=5)
+    return str(root)
+
+
+def _tiny_cfg(fl_root, **fed_overrides):
+    cfg = FedFRConfig()
+    cfg.data.rec_root = fl_root
+    cfg.data.num_clients = NUM_CLIENTS
+    cfg.data.num_ids = NUM_CLIENTS * IDS_PER_CLIENT
+    cfg.data.image_size = IMG
+    cfg.data.batch_size = 8
+    cfg.data.combined_batch_size = 8
+    cfg.data.public_batch_size = 16
+    cfg.data.eval_batch_size = 16
+    cfg.data.num_workers = 2
+    cfg.model.network = "toy"
+    cfg.model.embedding_size = 32
+    cfg.fed.local_epochs = 1
+    cfg.fed.total_rounds = 1
+    cfg.fed.hn_threshold = -1.0  # keep all public imgs (synthetic feats are arbitrary)
+    for k, v in fed_overrides.items():
+        setattr(cfg.fed, k, v)
+    return cfg
+
+
+def test_all_client_data_loads(fl_root):
+    cfg = _tiny_cfg(fl_root)
+    data = AllClientData(cfg)
+    assert len(data.client_datasets) == NUM_CLIENTS
+    assert data.train_class_sizes == [IDS_PER_CLIENT] * NUM_CLIENTS
+    assert data.client(1).id_base == IDS_PER_CLIENT
+    assert data.public_dataset.num_classes == 5
+
+
+def test_full_fedfr_round(fl_root):
+    """One complete FedFR round: HN mining, joint branch training with BCE +
+    contrastive, FedAvg over all leaves, FC FedAvg, SpreadOut."""
+    cfg = _tiny_cfg(fl_root, spreadout=True, init_fc=True)
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+
+    assert server.pretrained_fc.shape == (5, 32)
+    before = jax.tree_util.tree_map(np.asarray, server.federated_vars)
+    fc_before = server.clients[0].fc_local.copy()
+
+    stats = server.train_round()
+    assert np.isfinite(stats["avg_loss"])
+    assert server.global_round == 1
+
+    after = server.federated_vars
+    # global model changed
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), before, after)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    # batch stats were aggregated too (present for toy backbone)
+    assert "batch_stats" in after
+    # client local FC trained + spreadout applied
+    assert not np.allclose(server.clients[0].fc_local, fc_before)
+    # global FC aggregated from clients
+    assert server.pretrained_fc.shape == (5, 32)
+
+
+def test_plain_training_round(fl_root):
+    """CosFace-only path (no public data, no BCE, no contrastive)."""
+    cfg = _tiny_cfg(fl_root, add_pretrained_data=False, bce_local=False,
+                    contrastive=False, return_all=False)
+    data = AllClientData(cfg, include_public=False)
+    server = Server(cfg, data)
+    stats = server.train_round()
+    assert np.isfinite(stats["avg_loss"])
+    assert server.clients[0].trained_backbone is not None
+
+
+def test_client_sampling_ratio(fl_root):
+    cfg = _tiny_cfg(fl_root)
+    cfg.fed.client_sampled_ratio = 2 / 3
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+    sampled = server.sample_clients()
+    assert len(sampled) == 2
+    assert sampled == sorted(sampled)
+
+
+def test_round_checkpoint_roundtrip(fl_root, tmp_path):
+    """Round checkpoints are torch state_dicts loadable back into flax."""
+    cfg = _tiny_cfg(fl_root)
+    cfg.model.network = "sphnet20"
+    cfg.model.embedding_size = 512
+    cfg.data.image_size = 112
+    # skip real training: just test save path with an initialized model
+    data = AllClientData(cfg)
+    cfg2 = _tiny_cfg(fl_root)  # server with toy net for speed
+
+    from fedfr_tpu.utils import torch_interop as ti
+
+    backbone = build_backbone("sphnet20", 512, bf16=False)
+    variables = jax.device_get(backbone.init(jax.random.PRNGKey(0),
+                                             jnp.zeros((1, 112, 112, 3)), train=False))
+    sd = ti.backbone_to_torch("sphnet20", variables)
+    back = ti.backbone_from_torch("sphnet20", sd)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(back["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_hard_negative_mask_threshold():
+    feats = np.eye(4, dtype=np.float32)
+    public = np.concatenate([np.eye(4, dtype=np.float32),
+                             -np.eye(4, dtype=np.float32)])
+    mask = hard_negative_mask(feats, public, threshold=0.5, chunk=4)
+    np.testing.assert_array_equal(mask, [True] * 4 + [False] * 4)
