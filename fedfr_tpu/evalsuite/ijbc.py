@@ -1,0 +1,310 @@
+"""IJB-C generic evaluation: 1:1 verification and 1:n open-set identification.
+
+In-process, vectorized re-design of the reference pipeline (ijbc_all.py):
+
+* meta readers for tid/mid lists, template pairs, gallery/probe csvs
+  (ijbc_all.py:113-135);
+* media-then-template feature aggregation as two segment-mean/sum passes
+  (replacing the per-template python loops of ijbc_all.py:225-298);
+* pair scoring as chunked device matmul-free row dots;
+* TPR@FPR table via the same roc_curve + closest-FPR selection
+  (ijbc_all.py:561-590), and the 1:n top-k/TPIR@FPIR protocol
+  (ijbc_all.py:367-427).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.table import ascii_table
+from .align import align_face
+
+logger = logging.getLogger("fedfr_tpu.ijbc")
+
+
+# --------------------------------------------------------------- meta readers
+
+def read_template_media_list(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    arr = np.loadtxt(path, dtype=str)
+    return arr[:, 1].astype(int), arr[:, 2].astype(int)
+
+
+def read_template_pair_list(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    arr = np.loadtxt(path, dtype=str)
+    return arr[:, 0].astype(int), arr[:, 1].astype(int), arr[:, 2].astype(int)
+
+
+def read_template_subject_id_list(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    arr = np.loadtxt(path, dtype=str, skiprows=1, delimiter=",")
+    return arr[:, 0].astype(int), arr[:, 1].astype(int)
+
+
+def read_image_list(path: str) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """name_5pts_score lines -> (names, (N,5,2) landmarks, (N,) faceness)."""
+    names: List[str] = []
+    lmks: List[np.ndarray] = []
+    scores: List[float] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(" ")
+            if not parts or not parts[0]:
+                continue
+            names.append(parts[0])
+            vals = np.array([float(x) for x in parts[1:-1]], np.float32)
+            lmks.append(vals.reshape(5, 2))
+            scores.append(float(parts[-1]))
+    return names, np.stack(lmks), np.asarray(scores, np.float32)
+
+
+# ------------------------------------------------------- feature aggregation
+
+def image_to_template_features(img_feats: np.ndarray, templates: np.ndarray,
+                               medias: np.ndarray,
+                               choose_templates: Optional[np.ndarray] = None,
+                               choose_ids: Optional[np.ndarray] = None):
+    """Media-mean then template-sum aggregation, l2-normalized.
+
+    Vectorized over all templates: images sharing (template, media) are
+    averaged; distinct medias of a template are summed (ijbc_all.py:242-257).
+    Returns (template_feats, unique_templates[, unique_subject_ids]).
+    """
+    if choose_templates is not None:
+        unique_templates, first_idx = np.unique(choose_templates, return_index=True)
+        unique_ids = choose_ids[first_idx] if choose_ids is not None else None
+    else:
+        unique_templates = np.unique(templates)
+        unique_ids = None
+
+    keep = np.isin(templates, unique_templates)
+    feats = img_feats[keep]
+    tmpl = templates[keep]
+    med = medias[keep]
+
+    # stage 1: mean over (template, media) groups
+    pair_code = tmpl.astype(np.int64) * (med.max() + 1) + med
+    codes, inverse = np.unique(pair_code, return_inverse=True)
+    dim = feats.shape[1]
+    sums = np.zeros((len(codes), dim), np.float64)
+    counts = np.zeros(len(codes), np.int64)
+    np.add.at(sums, inverse, feats)
+    np.add.at(counts, inverse, 1)
+    media_feats = sums / counts[:, None]
+    media_tmpl = (codes // (med.max() + 1)).astype(np.int64)
+
+    # stage 2: sum over each template's medias
+    t_index = np.searchsorted(unique_templates, media_tmpl)
+    out = np.zeros((len(unique_templates), dim), np.float64)
+    np.add.at(out, t_index, media_feats)
+
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    out = out / np.maximum(norms, 1e-12)
+    if unique_ids is not None:
+        return out, unique_templates, unique_ids
+    return out, unique_templates
+
+
+def pair_scores(template_feats: np.ndarray, unique_templates: np.ndarray,
+                p1: np.ndarray, p2: np.ndarray,
+                batch: int = 100000) -> np.ndarray:
+    """Cosine scores for template pairs, chunked (ijbc_all.py:300-326)."""
+    t2id = np.zeros(unique_templates.max() + 1, dtype=np.int64)
+    t2id[unique_templates] = np.arange(len(unique_templates))
+    score = np.zeros(len(p1))
+    for s in range(0, len(p1), batch):
+        e = min(s + batch, len(p1))
+        f1 = template_feats[t2id[p1[s:e]]]
+        f2 = template_feats[t2id[p2[s:e]]]
+        score[s:e] = np.sum(f1 * f2, axis=1)
+    return score
+
+
+# ------------------------------------------------------------------- metrics
+
+def tpr_at_fpr(labels: np.ndarray, scores: np.ndarray,
+               x_labels: Sequence[float] = (1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1)
+               ) -> List[float]:
+    """ROC sweep + closest-FPR TPR selection x100 (ijbc_all.py:572-585)."""
+    from sklearn.metrics import roc_curve
+
+    fpr, tpr, _ = roc_curve(labels, scores)
+    fpr = np.flipud(fpr)
+    tpr = np.flipud(tpr)
+    out = []
+    for x in x_labels:
+        idx = int(np.argmin(np.abs(fpr - x)))
+        out.append(float("%.2f" % (tpr[idx] * 100)))
+    return out
+
+
+def identification_1n(probe_feats: np.ndarray, gallery_feats: np.ndarray,
+                      mask: np.ndarray, fars: Sequence[float] = (0.01, 0.1)
+                      ) -> Tuple[Dict[str, float], Dict[float, float]]:
+    """Open-set 1:n: top-1/5/10 + TPIR@FPIR (ijbc_all.py:367-427)."""
+    q = probe_feats.shape[0]
+    sim = probe_feats @ gallery_feats.T
+    order = np.argsort(-sim, axis=1)
+    mask = np.asarray(mask)
+    rank = {}
+    for k in (1, 5, 10):
+        hits = (order[:, :k] == mask[:, None]).any(axis=1)
+        rank[f"top{k}"] = float(hits.mean())
+
+    required_topk = [math.ceil(q * x) for x in fars]
+    pos_sims = sim[np.arange(q), mask].copy()
+    sim[np.arange(q), mask] = -2.0
+    neg_sims = sim[sim > -2.0]
+    k = max(required_topk)
+    top = np.sort(np.partition(neg_sims, len(neg_sims) - k)[len(neg_sims) - k:])[::-1]
+    pr = {}
+    for far, pos in zip(fars, required_topk):
+        th = top[pos - 1]
+        pr[far] = float(np.sum(pos_sims > th)) / q
+    return rank, pr
+
+
+def gen_mask(query_ids: np.ndarray, reg_ids: np.ndarray) -> np.ndarray:
+    """Probe subject -> gallery position; every probe must match exactly one
+    gallery entry (ijbc_all.py:356-365)."""
+    pos = {int(sid): i for i, sid in enumerate(reg_ids)}
+    counts = {}
+    for sid in reg_ids:
+        counts[int(sid)] = counts.get(int(sid), 0) + 1
+    out = np.empty(len(query_ids), dtype=np.int64)
+    for i, qid in enumerate(query_ids):
+        if counts.get(int(qid), 0) != 1:
+            raise RuntimeError(f"RegIdsError with id = {qid}, duplicate = "
+                               f"{counts.get(int(qid), 0)}")
+        out[i] = pos[int(qid)]
+    return out
+
+
+# ------------------------------------------------------------------ pipeline
+
+def extract_ijbc_features(embed_fn, variables, root_path: str,
+                          batch_size: int = 256, use_flip_test: bool = False,
+                          cache_path: Optional[str] = None,
+                          target: str = "IJBC") -> Tuple[np.ndarray, np.ndarray]:
+    """Align + embed the loose-crop image list (ijbc_all.py:142-223).
+
+    Caches aligned uint8 images to ``cache_path`` (IJBC_imgs.npy equivalent).
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    meta_dir = os.path.join(root_path, f"meta/{target}_meta")
+    names, lmks, faceness = read_image_list(
+        os.path.join(meta_dir, f"{target.lower()}_name_5pts_score.txt"))
+    n = len(names)
+
+    if cache_path and os.path.exists(cache_path):
+        imgs = np.load(cache_path, mmap_mode="r")
+    else:
+        imgs = np.empty((n, 112, 112, 3), np.uint8)
+        img_dir = os.path.join(root_path, "loose_crop")
+        for i, name in enumerate(names):
+            bgr = cv2.imread(os.path.join(img_dir, name))
+            imgs[i] = align_face(bgr, lmks[i])
+            if (i + 1) % 10000 == 0:
+                logger.info("aligned %d/%d", i + 1, n)
+        if cache_path:
+            np.save(cache_path, imgs)
+
+    dim = None
+    feats = None
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        batch = np.asarray(imgs[s:e])
+        if e - s < batch_size:
+            batch = np.concatenate([batch, np.repeat(batch[:1], batch_size - (e - s), 0)])
+        u8 = jnp.asarray(batch)
+        f = np.asarray(embed_fn(variables, u8))
+        if use_flip_test:
+            f2 = np.asarray(embed_fn(variables, u8[:, :, ::-1, :]))
+            f = np.concatenate([f, f2], axis=1)
+        if feats is None:
+            dim = f.shape[1]
+            feats = np.empty((n, dim), np.float32)
+        feats[s:e] = f[: e - s]
+        if (s // batch_size) % 100 == 0:
+            logger.info("embedded %d/%d", e, n)
+    return feats, faceness
+
+
+def run_ijbc(embed_fn, variables, root_path: str, result_dir: str, epoch: int = 0,
+             job: str = "1:1", batch_size: int = 256, use_norm_score: bool = True,
+             use_detector_score: bool = True, use_flip_test: bool = False,
+             target: str = "IJBC",
+             preloaded_feats: Optional[np.ndarray] = None) -> Dict[str, object]:
+    """Full IJB-C job matching the reference CLI behavior (ijbc_all.py:429-628)."""
+    meta_dir = os.path.join(root_path, f"meta/{target}_meta")
+    templates, medias = read_template_media_list(
+        os.path.join(meta_dir, f"{target.lower()}_face_tid_mid.txt"))
+
+    if preloaded_feats is not None:
+        img_feats = preloaded_feats
+        faceness = None
+    else:
+        cache = os.path.join(root_path, f"{target}_imgs.npy")
+        img_feats, faceness = extract_ijbc_features(
+            embed_fn, variables, root_path, batch_size, use_flip_test,
+            cache_path=cache, target=target)
+        if use_flip_test:
+            half = img_feats.shape[1] // 2
+            img_feats = img_feats[:, :half] + img_feats[:, half:]
+        if not use_norm_score:
+            img_feats = img_feats / np.maximum(
+                np.linalg.norm(img_feats, axis=1, keepdims=True), 1e-12)
+        if use_detector_score:
+            img_feats = img_feats * faceness[:, None]
+
+    results: Dict[str, object] = {}
+    if job in ("1:1", "both"):
+        p1, p2, label = read_template_pair_list(
+            os.path.join(meta_dir, f"{target.lower()}_template_pair_label.txt"))
+        tfeats, utemplates = image_to_template_features(img_feats, templates, medias)
+        score = pair_scores(tfeats, utemplates, p1, p2)
+        table = tpr_at_fpr(label, score)
+        results["tpr_at_fpr"] = table
+        save_dir = os.path.join(result_dir, f"{target.lower()}-1:1")
+        os.makedirs(save_dir, exist_ok=True)
+        np.save(os.path.join(save_dir, f"{target.lower()}.npy"), score)
+        x_labels = [1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1]
+        tbl = ascii_table(["Methods"] + [str(x) for x in x_labels],
+                          [[f"{target.lower()}-{target}"] + [f"{v:.2f}" for v in table]])
+        with open(os.path.join(save_dir, "log.txt"), "a") as f:
+            f.write(f"Epoch {epoch} : \n{tbl}\n")
+        logger.info("\n%s", tbl)
+
+    if job in ("1:n", "both"):
+        g1t, g1s = read_template_subject_id_list(
+            os.path.join(meta_dir, f"{target.lower()}_1N_gallery_G1.csv"))
+        g2t, g2s = read_template_subject_id_list(
+            os.path.join(meta_dir, f"{target.lower()}_1N_gallery_G2.csv"))
+        gallery_t = np.concatenate([g1t, g2t])
+        gallery_s = np.concatenate([g1s, g2s])
+        probe_t, probe_s = read_template_subject_id_list(
+            os.path.join(meta_dir, f"{target.lower()}_1N_probe_mixed.csv"))
+
+        gfeats, _, gids = image_to_template_features(
+            img_feats, templates, medias, gallery_t, gallery_s)
+        pfeats, _, pids = image_to_template_features(
+            img_feats, templates, medias, probe_t, probe_s)
+        mask = gen_mask(pids, gids)
+        rank, pr = identification_1n(pfeats.astype(np.float32),
+                                     gfeats.astype(np.float32), mask)
+        results["rank"] = rank
+        results["tpir_at_fpir"] = pr
+        save_dir = os.path.join(result_dir, f"{target.lower()}-1:n")
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "log.txt"), "a") as f:
+            f.write(f"Epoch {epoch} : \n")
+            for r, v in rank.items():
+                f.write(f"{r} : {v:.5f}\n")
+            for far, v in pr.items():
+                f.write(f"far = {far:.4f}  pr = {v:.5f}\n")
+    return results

