@@ -1,0 +1,65 @@
+"""Benchmark: flagship-model embedding throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is the framework's hottest path — sphere64 (the FedFR flagship
+backbone) bf16 embedding forward at batch 256, the kernel behind training
+forward passes, per-round public-set mining (420k imgs/round), and every
+evaluation pipeline.  The reference repo publishes no numbers (BASELINE.md);
+vs_baseline is reported against a 2-GPU reference-rig estimate of ~1400
+img/s for the same fp16 sphere64 inference (V100-class, the reference's
+eval hardware per README.md:26), so >1 means faster than the reference rig.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RIG_IMAGES_PER_SEC = 1400.0  # estimated 2-GPU reference throughput
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fedfr_tpu.models import build_backbone
+    from fedfr_tpu.federated.state import normalize_images
+
+    batch = 256
+    backbone = build_backbone("sphnet", 512, bf16=True)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 112, 112, 3)), train=False)
+
+    @jax.jit
+    def embed(variables, u8):
+        return backbone.apply(variables, normalize_images(u8), train=False)
+
+    # distinct inputs per iteration (identical dispatches can be served from
+    # an execution cache on some PJRT transports and would overstate speed)
+    rng = np.random.default_rng(0)
+    iters = 16
+    batches = [jnp.asarray(rng.integers(0, 255, (batch, 112, 112, 3),
+                                        dtype=np.uint8)) for _ in range(iters)]
+
+    # warmup / compile
+    embed(variables, batches[0]).block_until_ready()
+    embed(variables, batches[1]).block_until_ready()
+
+    t0 = time.perf_counter()
+    outs = [embed(variables, b) for b in batches]
+    for o in outs:
+        o.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(json.dumps({
+        "metric": "sphere64_embed_images_per_sec_per_chip",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / REFERENCE_RIG_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

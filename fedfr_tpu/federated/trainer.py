@@ -54,8 +54,11 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
                            weight_decay: float = 5e-4, bce_detach: bool = False,
                            contrastive: bool = True, reweight: bool = False,
                            num_local: int = 100, num_clients: int = 40,
-                           donate: bool = True) -> Callable:
-    """Train step for the joint local+public objective with the BCE branch."""
+                           donate: bool = True, jit: bool = True) -> Callable:
+    """Train step for the joint local+public objective with the BCE branch.
+
+    ``jit=False`` returns the raw step body (used by the client-parallel
+    vmapped trainer, parallel/client_parallel.py)."""
     margin_fn = MARGINS[margin]
 
     def step(state: ClientTrainState, global_vars, last_vars,
@@ -104,6 +107,8 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
             bce={"params": new_params["bce"]}, opt=new_opt)
         return new_state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -111,7 +116,7 @@ def make_plain_train_step(backbone, *, margin: str = "CosFace", s: float = 30.0,
                           m: float = 0.4, momentum: float = 0.9,
                           weight_decay: float = 5e-4, reweight: bool = False,
                           num_local: int = 100, num_clients: int = 40,
-                          donate: bool = True) -> Callable:
+                          donate: bool = True, jit: bool = True) -> Callable:
     """CosFace-only local training (reference Client.train, client.py:511-571)."""
     margin_fn = MARGINS[margin]
 
@@ -142,6 +147,8 @@ def make_plain_train_step(backbone, *, margin: str = "CosFace", s: float = 30.0,
                                      bce=state.bce, opt=new_opt)
         return new_state, loss
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
