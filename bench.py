@@ -23,6 +23,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fedfr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from fedfr_tpu.models import build_backbone
     from fedfr_tpu.federated.state import normalize_images
 
@@ -36,21 +39,28 @@ def main():
         return backbone.apply(variables, normalize_images(u8), train=False)
 
     # distinct inputs per iteration (identical dispatches can be served from
-    # an execution cache on some PJRT transports and would overstate speed)
-    rng = np.random.default_rng(0)
-    iters = 16
-    batches = [jnp.asarray(rng.integers(0, 255, (batch, 112, 112, 3),
-                                        dtype=np.uint8)) for _ in range(iters)]
+    # an execution cache on some PJRT transports and would overstate speed),
+    # generated on device so host->device upload is excluded from timing
+    @jax.jit
+    def make_batch(key):
+        return jax.random.randint(key, (batch, 112, 112, 3), 0, 255, jnp.uint8)
 
-    # warmup / compile
-    embed(variables, batches[0]).block_until_ready()
-    embed(variables, batches[1]).block_until_ready()
+    iters = 16
+    keys = jax.random.split(jax.random.PRNGKey(0), iters)
+    batches = [make_batch(k) for k in keys]
+    for b in batches:
+        b.block_until_ready()
+
+    # warmup / compile (np.asarray = device_get, the only reliable completion
+    # barrier on the tunneled PJRT transport); fetch a single row per iter
+    np.asarray(embed(variables, batches[0])[:1])
+    np.asarray(embed(variables, batches[1])[:1])
 
     t0 = time.perf_counter()
     outs = [embed(variables, b) for b in batches]
-    for o in outs:
-        o.block_until_ready()
+    got = [np.asarray(o[:1]) for o in outs]
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(g).all() for g in got)
 
     ips = batch * iters / dt
     print(json.dumps({
