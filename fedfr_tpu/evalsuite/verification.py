@@ -81,7 +81,8 @@ class BinVerificationCallback:
     tracking (reference CallBackVerification, utils/utils_callbacks.py:13-67)."""
 
     def __init__(self, embed_fn, targets: List[str], data_dir: str,
-                 batch_size: int = 128, logger=None):
+                 batch_size: int = 128, logger=None,
+                 image_size: Tuple[int, int] = (112, 112)):
         self.embed_fn = embed_fn
         self.batch_size = batch_size
         self.sets = []
@@ -91,7 +92,7 @@ class BinVerificationCallback:
         for name in targets:
             path = os.path.join(data_dir, name + ".bin")
             if os.path.exists(path):
-                self.sets.append(load_bin(path))
+                self.sets.append(load_bin(path, image_size))
                 self.names.append(name)
                 self.highest.append((0, 0.0))
 

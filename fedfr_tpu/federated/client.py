@@ -142,6 +142,10 @@ class Client:
                 contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
                 num_local=self.num_classes, num_clients=cfg.data.num_clients)
 
+        if len(loader) == 0:
+            raise ValueError(
+                f"client {self.cid}: combined dataset ({len(combined)} imgs) "
+                f"smaller than the batch size {cfg.data.combined_batch_size}")
         key = jax.random.PRNGKey(cfg.runtime.seed + 31 * round_seed + self.cid)
         loss_sum = np.zeros(4)
         n_steps = 0

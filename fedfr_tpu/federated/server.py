@@ -244,15 +244,23 @@ class Server:
 
     def save_client_checkpoints(self, output_dir: str) -> None:
         """Per-client backbone + bce_module artifacts (client.py:484-495)."""
+        from ..utils.checkpoint import save_native
+
         for c in self.clients:
             if c.trained_backbone is None:
                 continue
             cdir = os.path.join(output_dir, "clients", f"client_{c.cid}")
             os.makedirs(cdir, exist_ok=True)
-            sd = torch_interop.backbone_to_torch(self.cfg.model.network,
-                                                 c.trained_backbone)
-            torch_interop.save_pth(sd, os.path.join(cdir, "backbone.pth"))
+            try:
+                sd = torch_interop.backbone_to_torch(self.cfg.model.network,
+                                                     c.trained_backbone)
+                torch_interop.save_pth(sd, os.path.join(cdir, "backbone.pth"))
+            except NotImplementedError:
+                save_native(c.trained_backbone, os.path.join(cdir, "backbone.npz"))
             if c.bce_vars is not None:
-                bsd = torch_interop.bce_to_torch(c.bce_vars,
-                                                 self.cfg.model.converter_layers)
-                torch_interop.save_pth(bsd, os.path.join(cdir, "bce_module.pth"))
+                try:
+                    bsd = torch_interop.bce_to_torch(c.bce_vars,
+                                                     self.cfg.model.converter_layers)
+                    torch_interop.save_pth(bsd, os.path.join(cdir, "bce_module.pth"))
+                except NotImplementedError:
+                    save_native(c.bce_vars, os.path.join(cdir, "bce_module.npz"))

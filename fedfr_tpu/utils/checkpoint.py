@@ -1,0 +1,131 @@
+"""Native checkpointing: flat-npz pytree snapshots + round-level resume.
+
+The reference only saves torch state_dicts and cannot resume a federated run
+mid-training (SURVEY.md §5).  Here:
+
+* ``save_native``/``load_native`` — portable flat .npz of any pytree
+  (backbone variables, FC matrices, BCE params);
+* ``RoundCheckpointer`` — whole-run state (global model, every client's FC /
+  BCE / last-model, round counter, RNG) so training resumes exactly at the
+  next round boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten(tree[k], f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def convert(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [convert(node[k]) for k in sorted(keys, key=int)]
+        return {k: convert(v) for k, v in node.items()}
+
+    return convert(root)
+
+
+def save_native(tree: Any, path: str) -> None:
+    flat = _flatten(tree)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+def load_native(path: str) -> Any:
+    with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten(flat)
+
+
+class RoundCheckpointer:
+    """Round-granular save/resume of a whole federated run."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def save(self, server) -> str:
+        import jax
+
+        state = {
+            "federated": jax.device_get(server.federated_vars),
+            "pretrained_fc": np.asarray(server.pretrained_fc)
+            if server.pretrained_fc is not None else np.zeros(0),
+            "clients": {
+                f"c{c.cid}": {
+                    "fc_local": np.asarray(c.fc_local),
+                    **({"bce": jax.device_get(c.bce_vars)} if c.bce_vars else {}),
+                    **({"last": jax.device_get(c.last_backbone)}
+                       if c.last_backbone is not None else {}),
+                }
+                for c in server.clients
+            },
+        }
+        path = os.path.join(self.directory, f"round_{server.global_round}")
+        save_native(state, path)
+        meta = {"global_round": server.global_round,
+                "global_epoch": server.global_epoch,
+                "local_epoch": server.local_epoch,
+                "train_decay": server.train_decay}
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+        return path + ".npz"
+
+    def latest(self) -> Optional[int]:
+        rounds = []
+        for name in os.listdir(self.directory):
+            if name.startswith("round_") and name.endswith(".meta.json"):
+                rounds.append(int(name[len("round_"):-len(".meta.json")]))
+        return max(rounds) if rounds else None
+
+    def restore(self, server, round_idx: Optional[int] = None) -> int:
+        if round_idx is None:
+            round_idx = self.latest()
+        if round_idx is None:
+            return 0
+        path = os.path.join(self.directory, f"round_{round_idx}")
+        state = load_native(path)
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+        server.federated_vars = state["federated"]
+        if state["pretrained_fc"].size:
+            server.pretrained_fc = state["pretrained_fc"]
+        for c in server.clients:
+            cs = state["clients"][f"c{c.cid}"]
+            c.fc_local = cs["fc_local"]
+            if "bce" in cs:
+                c.bce_vars = cs["bce"]
+            if "last" in cs:
+                c.last_backbone = cs["last"]
+        server.global_round = meta["global_round"]
+        server.global_epoch = meta["global_epoch"]
+        server.local_epoch = meta["local_epoch"]
+        server.train_decay = meta["train_decay"]
+        return round_idx

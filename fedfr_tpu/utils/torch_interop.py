@@ -170,10 +170,62 @@ def backbone_from_torch(name: str, sd: Dict[str, Any]) -> Dict[str, Any]:
     raise ValueError(f"unknown backbone '{name}'")
 
 
+def iresnet_to_torch(variables: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    import torch
+
+    p = variables["params"]
+    st = variables["batch_stats"]
+
+    def t(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x, dtype=np.float32)))
+
+    sd: Dict[str, Any] = {}
+
+    def put_bn(key, bp, bs):
+        sd[f"{key}.weight"] = t(bp["scale"])
+        sd[f"{key}.bias"] = t(bp["bias"])
+        sd[f"{key}.running_mean"] = t(bs["mean"])
+        sd[f"{key}.running_var"] = t(bs["var"])
+        sd[f"{key}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+    sd["conv1.weight"] = t(_conv_back(np.asarray(p["conv1"]["kernel"])))
+    put_bn("bn1", p["bn1"], st["bn1"])
+    sd["prelu.weight"] = t(p["prelu"]["alpha"])
+    inplanes = 64
+    for stage, (blocks, feats) in enumerate(zip(_IRES_LAYERS[depth], (64, 128, 256, 512)), start=1):
+        for b in range(blocks):
+            name = f"layer{stage}_block{b}"
+            tb = f"layer{stage}.{b}"
+            bp, bs = p[name], st[name]
+            put_bn(f"{tb}.bn1", bp["bn1"], bs["bn1"])
+            sd[f"{tb}.conv1.weight"] = t(_conv_back(np.asarray(bp["conv1"]["kernel"])))
+            put_bn(f"{tb}.bn2", bp["bn2"], bs["bn2"])
+            sd[f"{tb}.prelu.weight"] = t(bp["prelu"]["alpha"])
+            sd[f"{tb}.conv2.weight"] = t(_conv_back(np.asarray(bp["conv2"]["kernel"])))
+            put_bn(f"{tb}.bn3", bp["bn3"], bs["bn3"])
+            stride = 2 if b == 0 else 1
+            if stride != 1 or inplanes != feats:
+                sd[f"{tb}.downsample.0.weight"] = t(
+                    _conv_back(np.asarray(bp["ds_conv"]["kernel"])))
+                put_bn(f"{tb}.downsample.1", bp["ds_bn"], bs["ds_bn"])
+            inplanes = feats
+    put_bn("bn2", p["bn2"], st["bn2"])
+    sd["fc.weight"] = t(_dense_flat_back(np.asarray(p["fc"]["kernel"]), 512))
+    sd["fc.bias"] = t(p["fc"]["bias"])
+    sd["features.weight"] = t(np.ones(p["fc"]["kernel"].shape[1], np.float32))
+    sd["features.bias"] = t(p["features"]["bias"])
+    sd["features.running_mean"] = t(st["features"]["mean"])
+    sd["features.running_var"] = t(st["features"]["var"])
+    sd["features.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+    return sd
+
+
 def backbone_to_torch(name: str, variables: Dict[str, Any]) -> Dict[str, Any]:
     if name.startswith("sphnet"):
         depth = 20 if name == "sphnet20" else 64
         return sphnet_to_torch(variables, depth)
+    if name.startswith("iresnet"):
+        return iresnet_to_torch(variables, int(name[len("iresnet"):]))
     raise NotImplementedError(f"to_torch for '{name}' not implemented yet")
 
 

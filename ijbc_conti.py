@@ -1,0 +1,36 @@
+"""Multi-epoch IJB-C driver (reference ijbc_conti.py) — in-process, no
+os.system: embeds are jitted once and reused across checkpoints."""
+
+import argparse
+
+
+def main(args):
+    from fedfr_tpu.evalsuite.ijbc import run_ijbc
+    from fedfr_tpu.federated.embed import make_embed_fn
+    from fedfr_tpu.models import build_backbone
+
+    from ijbc_all import load_backbone_variables
+
+    backbone = build_backbone(args.network)
+    embed_fn = make_embed_fn(backbone)
+    for e in args.epoch:
+        path = f"{args.ckpt_dir}/backbone_{e}.pth"
+        import os
+
+        if not os.path.exists(path):
+            path = f"{args.ckpt_dir}/backbone_{e}.npz"
+        variables = load_backbone_variables(args.network, path)
+        print(f"=== epoch {e}: {path} ===")
+        run_ijbc(embed_fn, variables, args.root_path, args.ckpt_dir,
+                 epoch=e, job=args.job, batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt_dir")
+    parser.add_argument("--root_path", default="")
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--job", default="1:1")
+    parser.add_argument("--epoch", type=int, nargs="+")
+    parser.add_argument("--network", default="sphnet")
+    main(parser.parse_args())

@@ -1,0 +1,193 @@
+"""End-to-end CLI tests: dataset generation -> training -> eval -> resume."""
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fedfr_tpu.data import codec, write_split
+from fedfr_tpu.data.datasets import FaceRecordDataset
+
+IMG = 24
+NUM_IDS = 8
+NUM_CLIENTS = 2
+IMGS_PER_ID = 10
+TEST_IMGS = 4
+
+
+@pytest.fixture(scope="module")
+def pipeline_root(tmp_path_factory):
+    """Synthetic source rec -> split_FL + split_pretrain -> data root."""
+    root = tmp_path_factory.mktemp("pipeline")
+    src = root / "source"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    payloads, labels = [], []
+    # FL-eligible IDs need IMGS_PER_ID imgs; generate 3x ids so both halves
+    # of the shuffle contain candidates
+    total_ids = NUM_IDS * 3
+    for pid in range(total_ids):
+        base = rng.integers(0, 200, size=(IMG, IMG, 3))
+        for _ in range(IMGS_PER_ID):
+            img = np.clip(base + rng.integers(-20, 20, (IMG, IMG, 3)), 0, 255)
+            payloads.append(codec.encode_raw(img.astype(np.uint8)))
+            labels.append(pid)
+    write_split(str(src / "train.idx"), str(src / "train.rec"),
+                payloads, labels, num_classes=total_ids)
+
+    out = root / "ms1m_split"
+    import split_dataset.split_FL as sfl
+    import split_dataset.split_pretrain as spre
+
+    argv = sys.argv
+    sys.argv = ["split_FL.py", "--data_dir", str(src), "--output_dir", str(out),
+                "--num_client", str(NUM_CLIENTS), "--num_ID", str(NUM_IDS),
+                "--min_imgs", str(IMGS_PER_ID), "--max_imgs", str(IMGS_PER_ID),
+                "--test_imgs", str(TEST_IMGS)]
+    try:
+        sfl.main()
+        sys.argv = ["split_pretrain.py", "--data_dir", str(src), "--output_dir",
+                    str(out), "--num_client", "1", "--num_ID", "4",
+                    "--min_imgs", str(IMGS_PER_ID), "--max_imgs", str(IMGS_PER_ID)]
+        spre.main()
+    finally:
+        sys.argv = argv
+
+    # rename pretrain dir to the expected 6000 suffix layout
+    gen = out / "split_pretrain_4"
+    target = out / "split_pretrain_6000"
+    gen.rename(target)
+
+    # synthetic .bin verification set from the veri split
+    veri = FaceRecordDataset(str(out / f"local_veri_{NUM_IDS}"), prefix="test")
+    bins, issame = [], []
+    lbls = veri.all_labels()
+    for i in range(0, 16, 2):
+        # same pair
+        bins.append(veri.reader.read_idx(int(veri.imgidx[i]))[1])
+        bins.append(veri.reader.read_idx(int(veri.imgidx[i + 1]))[1])
+        issame.append(bool(lbls[i] == lbls[i + 1]))
+        # cross pair
+        j = (i + TEST_IMGS) % len(veri)
+        bins.append(veri.reader.read_idx(int(veri.imgidx[i]))[1])
+        bins.append(veri.reader.read_idx(int(veri.imgidx[j]))[1])
+        issame.append(bool(lbls[i] == lbls[j]))
+    val = root / "val"
+    val.mkdir()
+    with open(val / "agedb_30.bin", "wb") as f:
+        pickle.dump((bins, issame), f)
+    return str(root)
+
+
+def test_split_outputs(pipeline_root):
+    out = os.path.join(pipeline_root, "ms1m_split")
+    veri = FaceRecordDataset(os.path.join(out, f"local_veri_{NUM_IDS}"), prefix="test")
+    assert len(veri) == NUM_IDS * TEST_IMGS
+    assert veri.num_classes == NUM_IDS
+    gal = FaceRecordDataset(os.path.join(out, f"local_gallery_{NUM_IDS}"), prefix="test")
+    assert len(gal) == NUM_IDS * (IMGS_PER_ID - TEST_IMGS)
+    c1 = FaceRecordDataset(os.path.join(
+        out, "split_train_i%04dc%04d" % (NUM_IDS, NUM_CLIENTS), "client_0001"))
+    assert c1.id_base == NUM_IDS // NUM_CLIENTS
+    assert c1.num_classes == NUM_IDS // NUM_CLIENTS
+    # idx_id_pair metadata written
+    assert os.path.exists(os.path.join(out, f"local_veri_{NUM_IDS}", "idx_id_pair.txt"))
+    pub = FaceRecordDataset(os.path.join(out, "split_pretrain_6000", "client_0000"))
+    assert pub.num_classes == 4
+
+
+def _train_args(pipeline_root, tmp, total_round=1, resume=False):
+    out = os.path.join(pipeline_root, "ms1m_split")
+    return argparse.Namespace(
+        network="toy", loss="CosFace", output_dir=str(tmp),
+        batch_size=8, local_epoch=1, total_round=total_round,
+        num_client=NUM_CLIENTS, num_ids=NUM_IDS, client_sampled_ratio=1.0,
+        pretrained_root="", lr=0.01, aggr_alg="FedAvg", spreadout=True,
+        init_fc=True, add_pretrained_data=True, contrastive_bb=True,
+        return_all=True, combine_dataset=True, BCE_local=True, BCE_detach=False,
+        adaptive_local_epoch=True, reweight_cosface=False,
+        rec_root=out, val_root=os.path.join(pipeline_root, "val"),
+        local_rec=os.path.join(out, f"local_veri_{NUM_IDS}"),
+        val_targets="agedb_30", num_workers=2, seed=100,
+        embedding_size=16, image_size=IMG, resume=resume,
+        com_batch_size=8, public_batch_size=16, eval_batch_size=16)
+
+
+def test_train_cli_end_to_end(pipeline_root, tmp_path):
+    import train as train_cli
+
+    # shrink batches to the tiny dataset
+    args = _train_args(pipeline_root, tmp_path / "run1", total_round=1)
+    cfg = train_cli.build_config(args)
+    assert cfg.model.network == "toy"
+    assert cfg.data.combined_batch_size == 8
+    train_cli.main(args)
+
+    out = str(tmp_path / "run1")
+    assert os.path.exists(os.path.join(out, "training.log"))
+    assert os.path.exists(os.path.join(out, "rounds", "round_1.meta.json"))
+    # per-round + client checkpoints (toy -> native npz)
+    assert os.path.exists(os.path.join(out, "backbone_0.npz"))
+    assert os.path.exists(os.path.join(out, "clients", "client_0", "backbone.npz"))
+    # local candidates produced local_log.txt entries
+    found = False
+    for c in range(NUM_CLIENTS):
+        p = os.path.join(out, "clients", f"client_{c}", "local_log.txt")
+        if os.path.exists(p):
+            content = open(p).read()
+            assert "TPR (-1 to -6)" in content
+            found = True
+    assert found
+
+
+def test_train_cli_resume(pipeline_root, tmp_path):
+    import train as train_cli
+
+    outdir = tmp_path / "run2"
+    train_cli.main(_train_args(pipeline_root, outdir, total_round=1))
+    # resume and continue to round 2
+    train_cli.main(_train_args(pipeline_root, outdir, total_round=2,
+                               resume=True))
+    assert os.path.exists(os.path.join(outdir, "rounds", "round_2.meta.json"))
+
+
+def test_local_all_cli(pipeline_root, tmp_path):
+    """Post-hoc personalized 1:1 + 1:n over trained client checkpoints."""
+    import train as train_cli
+
+    outdir = tmp_path / "run3"
+    train_cli.main(_train_args(pipeline_root, outdir, total_round=1))
+
+    out = os.path.join(pipeline_root, "ms1m_split")
+    ids_per_client = NUM_IDS // NUM_CLIENTS
+
+    # local_all expects 4000-id conventions; run its core helpers instead on
+    # tiny data through the same code paths
+    from fedfr_tpu.evalsuite.local_eval import (
+        client_query_mask, local_11_roc, open_set_identification)
+    from fedfr_tpu.federated.embed import class_mean_features, embed_dataset, make_embed_fn
+    from fedfr_tpu.models import build_backbone
+    from fedfr_tpu.utils.checkpoint import load_native
+
+    backbone = build_backbone("toy", 16)
+    embed_fn = make_embed_fn(backbone)
+    veri = FaceRecordDataset(os.path.join(out, f"local_veri_{NUM_IDS}"), prefix="test")
+    variables = load_native(os.path.join(str(outdir), "clients", "client_0",
+                                         "backbone.npz"))
+    feats, labels = embed_dataset(embed_fn, variables, veri, 16)
+    table = local_11_roc(feats, labels, 0, ids_per_client, epoch=0,
+                         output_dir=str(tmp_path / "loc"))
+    assert len(table) == 6
+
+    gal = FaceRecordDataset(os.path.join(out, f"local_gallery_{NUM_IDS}"), prefix="test")
+    gfeats, glabels = embed_dataset(embed_fn, variables, gal, 16)
+    cg = class_mean_features(gfeats, glabels, NUM_IDS)[:ids_per_client]
+    mask = client_query_mask(labels, 0, ids_per_client, imgs_per_id=TEST_IMGS)
+    res, fars = open_set_identification(feats.copy(), cg, mask, fars=[0.1, 0.5],
+                                        recall_denominator=TEST_IMGS * ids_per_client)
+    assert len(res) == 2

@@ -1,0 +1,192 @@
+"""FedFR federated training CLI (reference-compatible flags).
+
+Mirrors the reference train.py argparse surface (train.py:94-126) while
+driving the TPU-native engine.  run.sh-equivalent:
+
+    python train.py --pretrained_root ./pretrain --network sphnet \
+        --output_dir ./ckpt/FedFR --loss CosFace --batch_size 64 \
+        --num_client 40 --client_sampled_ratio 1.0 --lr 0.001 \
+        --total_round 20 --local_epoch 10 --add_pretrained_data \
+        --combine_dataset --contrastive_bb --return_all --BCE_local \
+        --adaptive_local_epoch
+"""
+
+import argparse
+import os
+
+
+def build_config(args) -> "FedFRConfig":
+    from fedfr_tpu.config import FedFRConfig
+
+    cfg = FedFRConfig()
+    cfg.data.rec_root = args.rec_root
+    cfg.data.val_root = args.val_root
+    cfg.data.local_veri_dir = args.local_rec
+    cfg.data.num_clients = args.num_client
+    cfg.data.num_ids = args.num_ids
+    cfg.data.batch_size = args.batch_size
+    cfg.data.combined_batch_size = args.com_batch_size
+    cfg.data.public_batch_size = args.public_batch_size
+    cfg.data.eval_batch_size = args.eval_batch_size
+    cfg.data.num_workers = args.num_workers
+    cfg.model.network = args.network
+    cfg.loss.loss = args.loss
+    cfg.optim.lr = args.lr
+    cfg.fed.total_rounds = args.total_round
+    cfg.fed.local_epochs = args.local_epoch
+    cfg.fed.client_sampled_ratio = args.client_sampled_ratio
+    cfg.fed.spreadout = args.spreadout
+    cfg.fed.init_fc = args.init_fc
+    cfg.fed.add_pretrained_data = args.add_pretrained_data
+    cfg.fed.combine_dataset = args.combine_dataset
+    cfg.fed.contrastive = args.contrastive_bb
+    cfg.fed.return_all = args.return_all
+    cfg.fed.bce_local = args.BCE_local
+    cfg.fed.bce_detach = args.BCE_detach
+    cfg.fed.adaptive_local_epoch = args.adaptive_local_epoch
+    cfg.fed.reweight_cosface = args.reweight_cosface
+    cfg.fed.aggr_alg = args.aggr_alg
+    cfg.runtime.output_dir = args.output_dir
+    cfg.runtime.pretrained_root = args.pretrained_root
+    cfg.runtime.seed = args.seed
+    cfg.model.embedding_size = args.embedding_size
+    cfg.data.image_size = args.image_size
+    if args.val_targets:
+        cfg.runtime.val_targets = args.val_targets.split(",")
+    return cfg
+
+
+def main(args):
+    import numpy as np
+
+    from fedfr_tpu.data.datasets import AllClientData, FaceRecordDataset
+    from fedfr_tpu.evalsuite.local_eval import local_11_roc
+    from fedfr_tpu.evalsuite.verification import BinVerificationCallback
+    from fedfr_tpu.federated import Server
+    from fedfr_tpu.federated.embed import embed_dataset, make_embed_fn
+    from fedfr_tpu.utils import torch_interop
+    from fedfr_tpu.utils.checkpoint import save_native
+    from fedfr_tpu.utils.logging import init_logging
+
+    cfg = build_config(args)
+    os.makedirs(cfg.runtime.output_dir, exist_ok=True)
+    logger = init_logging(cfg.runtime.output_dir)
+    logger.info("config: %s", cfg.to_json())
+
+    data = AllClientData(cfg, include_public=cfg.fed.add_pretrained_data)
+
+    # per-round generic eval over .bin targets (reference server.test)
+    bin_cb = None
+    embed_fn = None
+    if cfg.data.val_root:
+        from fedfr_tpu.models import build_backbone
+
+        backbone = build_backbone(cfg.model.network, cfg.model.embedding_size,
+                                  cfg.model.dropout, cfg.model.bf16)
+        embed_fn = make_embed_fn(backbone)
+        bin_cb = BinVerificationCallback(
+            embed_fn, cfg.runtime.val_targets, cfg.data.val_root, logger=logger,
+            image_size=(cfg.data.image_size, cfg.data.image_size))
+
+    local_veri = None
+    if cfg.data.local_veri_dir and os.path.exists(cfg.data.local_veri_dir):
+        local_veri = FaceRecordDataset(cfg.data.local_veri_dir, prefix="test")
+
+    def eval_callback(server):
+        if bin_cb is None:
+            return None
+        accs = bin_cb(server.global_round, server.federated_vars)
+        if bin_cb.is_best(server.global_round):
+            try:
+                sd = torch_interop.backbone_to_torch(cfg.model.network,
+                                                     server.federated_vars)
+                torch_interop.save_pth(sd, os.path.join(cfg.runtime.output_dir,
+                                                        "backbone.pth"))
+            except NotImplementedError:
+                pass
+            save_native(server.federated_vars,
+                        os.path.join(cfg.runtime.output_dir, "backbone.best.npz"))
+            logger.info("Save server model, round %d", server.global_round)
+        return {"acc": accs}
+
+    def local_eval_callback(server, client):
+        if local_veri is None or client.trained_backbone is None:
+            return
+        bce_params = (client.bce_vars["params"] if client.bce_vars is not None
+                      else None)
+        efn = make_embed_fn(server.backbone, server.bce_module)
+        feats, labels = embed_dataset(
+            efn, client.trained_backbone, local_veri,
+            cfg.data.eval_batch_size, bce_params=bce_params)
+        local_11_roc(feats, labels, client.id_base,
+                     client.id_base + client.num_classes,
+                     epoch=server.global_round,
+                     output_dir=os.path.join(cfg.runtime.output_dir, "clients",
+                                             f"client_{client.cid}"))
+
+    server = Server(cfg, data, eval_callback=eval_callback,
+                    local_eval_callback=local_eval_callback)
+
+    from fedfr_tpu.utils.checkpoint import RoundCheckpointer
+
+    ckpt = RoundCheckpointer(os.path.join(cfg.runtime.output_dir, "rounds"))
+    if args.resume:
+        restored = ckpt.restore(server)
+        logger.info("resumed at round %d", restored)
+
+    logger.info("=== Start Federated learning ===")
+    while server.global_round < cfg.fed.total_rounds:
+        server.current_client_list = server.sample_clients()
+        logger.info("====== Round %d ======", server.global_round)
+        server.train_round()
+        server.test()
+        try:
+            server.save_round_checkpoint(cfg.runtime.output_dir)
+        except NotImplementedError:
+            save_native(server.federated_vars,
+                        os.path.join(cfg.runtime.output_dir,
+                                     f"backbone_{server.global_round - 1}.npz"))
+        server.save_client_checkpoints(cfg.runtime.output_dir)
+        ckpt.save(server)
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="TPU-native FedFR training")
+    parser.add_argument("--network", type=str, default="sphnet")
+    parser.add_argument("--loss", type=str, default="CosFace")
+    parser.add_argument("--output_dir", default="./ckpt/FL_FedFR")
+    parser.add_argument("--batch_size", default=64, type=int)
+    parser.add_argument("--com_batch_size", default=256, type=int)
+    parser.add_argument("--public_batch_size", default=512, type=int)
+    parser.add_argument("--eval_batch_size", default=512, type=int)
+    parser.add_argument("--local_epoch", default=1, type=int)
+    parser.add_argument("--total_round", default=16, type=int)
+    parser.add_argument("--num_client", default=10, type=int)
+    parser.add_argument("--num_ids", default=4000, type=int)
+    parser.add_argument("--client_sampled_ratio", default=1.0, type=float)
+    parser.add_argument("--pretrained_root", default="")
+    parser.add_argument("--lr", type=float, default=0.1)
+    parser.add_argument("--aggr_alg", default="FedAvg")
+    parser.add_argument("--spreadout", action="store_true")
+    parser.add_argument("--init_fc", action="store_true")
+    parser.add_argument("--add_pretrained_data", action="store_true")
+    parser.add_argument("--contrastive_bb", action="store_true")
+    parser.add_argument("--return_all", action="store_true")
+    parser.add_argument("--combine_dataset", action="store_true")
+    parser.add_argument("--BCE_local", action="store_true")
+    parser.add_argument("--BCE_detach", action="store_true")
+    parser.add_argument("--adaptive_local_epoch", action="store_true")
+    parser.add_argument("--reweight_cosface", action="store_true")
+    # paths (the reference hardcodes these in config.py; here they are flags)
+    parser.add_argument("--rec_root", default="", help="dataset root")
+    parser.add_argument("--val_root", default="", help=".bin verification dir")
+    parser.add_argument("--local_rec", default="", help="local_veri_4000 dir")
+    parser.add_argument("--val_targets", default="agedb_30")
+    parser.add_argument("--num_workers", default=6, type=int)
+    parser.add_argument("--seed", default=100, type=int)
+    parser.add_argument("--embedding_size", default=512, type=int)
+    parser.add_argument("--image_size", default=112, type=int)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest round checkpoint")
+    main(parser.parse_args())
