@@ -30,7 +30,8 @@ from .recordio import IndexedRecordReader, SplitMeta, read_split_meta
 class FaceRecordDataset:
     """A single indexed rec split: images keyed 1..N with integer labels."""
 
-    def __init__(self, root_dir: str, prefix: str = "train"):
+    def __init__(self, root_dir: str, prefix: str = "train",
+                 use_native: bool = True):
         idx_path = os.path.join(root_dir, f"{prefix}.idx")
         rec_path = os.path.join(root_dir, f"{prefix}.rec")
         self.reader = IndexedRecordReader(idx_path, rec_path)
@@ -38,6 +39,36 @@ class FaceRecordDataset:
         # active record keys; hard-negative mining installs a subset
         self.imgidx: np.ndarray = np.arange(1, self.meta.num_images + 1)
         self._labels: Optional[np.ndarray] = None
+        self._native = None
+        if use_native and self.meta.num_images > 0:
+            self._try_native(idx_path, rec_path)
+
+    def _try_native(self, idx_path: str, rec_path: str) -> None:
+        """Attach the C++ batch decoder (fedfr_tpu/native) when buildable."""
+        try:
+            from ..native import NativeReader, load_library
+
+            if load_library() is None:
+                return
+            probe, _ = self.read(0)
+            if probe.shape[0] != probe.shape[1] or probe.shape[2] != 3:
+                return
+            self._native = NativeReader(idx_path, rec_path,
+                                        image_size=probe.shape[0])
+        except Exception:
+            self._native = None
+
+    def read_batch(self, positions: np.ndarray):
+        """Native threaded batch decode -> (N,H,W,3) u8, (N,) labels;
+        None when the native plane is unavailable."""
+        if self._native is None:
+            return None
+        try:
+            keys = self.imgidx[np.asarray(positions)]
+            return self._native.read_batch(keys)
+        except Exception:
+            self._native = None
+            return None
 
     @property
     def num_classes(self) -> Optional[int]:
@@ -82,6 +113,7 @@ class FaceRecordDataset:
         view.meta = self.meta
         view.imgidx = np.asarray(imgidx)
         view._labels = self._labels
+        view._native = self._native
         return view
 
 
@@ -108,6 +140,27 @@ class CombinedDataset:
             return self.local.read(pos)
         img, label = self.public.read(pos - self.local_len)
         return img, label + self.shift
+
+    def read_batch(self, positions: np.ndarray):
+        positions = np.asarray(positions)
+        is_local = positions < self.local_len
+        out_l = self.local.read_batch(positions[is_local]) if is_local.any() else ((), ())
+        out_p = (self.public.read_batch(positions[~is_local] - self.local_len)
+                 if (~is_local).any() else ((), ()))
+        if (is_local.any() and out_l is None) or ((~is_local).any() and out_p is None):
+            return None
+        n = len(positions)
+        imgs = labels = None
+        for part, sel, shift in ((out_l, is_local, 0), (out_p, ~is_local, self.shift)):
+            if not sel.any():
+                continue
+            pi, pl = part
+            if imgs is None:
+                imgs = np.empty((n,) + pi.shape[1:], dtype=np.uint8)
+                labels = np.empty(n, dtype=np.int32)
+            imgs[sel] = pi
+            labels[sel] = pl + shift
+        return imgs, labels
 
 
 class BatchLoader:
@@ -148,12 +201,18 @@ class BatchLoader:
         bs = self.batch_size
         nb = len(self)
         read = self.dataset.read
+        read_batch = getattr(self.dataset, "read_batch", None)
         for b in range(nb):
             idx = order[b * bs: (b + 1) * bs]
             valid = np.ones(bs, dtype=bool)
             if len(idx) < bs:
                 valid[len(idx):] = False
                 idx = np.concatenate([idx, np.full(bs - len(idx), idx[0])])
+            batch = read_batch(idx) if read_batch is not None else None
+            if batch is not None:
+                imgs, labels = batch
+                yield imgs, labels.astype(np.int32), valid
+                continue
             items = list(self.pool.map(read, idx))
             imgs = np.stack([it[0] for it in items])
             labels = np.array([it[1] for it in items], dtype=np.int32)

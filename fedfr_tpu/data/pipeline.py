@@ -1,0 +1,60 @@
+"""Host->device input pipeline: background decode + double-buffered transfer.
+
+TPU-native replacement for the reference's DataLoaderX background-thread
+prefetcher (dataset.py:16-71, which staged batches on a side CUDA stream):
+a producer thread runs the BatchLoader epoch (threaded JPEG decode) and
+eagerly ``jax.device_put``s batches, keeping ``depth`` batches in flight so
+the device never waits on host decode.  uint8 on the wire; normalization and
+augmentation happen inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DevicePrefetcher:
+    """Iterate (device_images, device_labels, device_valid) with lookahead."""
+
+    def __init__(self, loader, depth: int = 2, device=None):
+        self.loader = loader
+        self.depth = max(1, depth)
+        self.device = device
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def epoch(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        error: list = []
+
+        def produce():
+            try:
+                for imgs, labels, valid in self.loader.epoch():
+                    batch = (jnp.asarray(imgs), jnp.asarray(labels),
+                             jnp.asarray(valid))
+                    if self.device is not None:
+                        batch = jax.device_put(batch, self.device)
+                    q.put(batch)
+            except Exception as e:  # pragma: no cover - propagated below
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error:
+            raise error[0]

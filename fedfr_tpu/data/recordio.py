@@ -157,7 +157,8 @@ class IndexedRecordReader:
     def __del__(self):  # pragma: no cover - GC path
         try:
             self.close()
-        except OSError:
+        except Exception:
+            # interpreter teardown may have unloaded os.close already
             pass
 
 

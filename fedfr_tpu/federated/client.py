@@ -17,6 +17,7 @@ import numpy as np
 
 from ..config import FedFRConfig
 from ..data.datasets import BatchLoader, CombinedDataset, FaceRecordDataset
+from ..data.pipeline import DevicePrefetcher
 from ..utils.optim import step_lr
 from .embed import class_mean_features, embed_dataset, hard_negative_mask, make_embed_fn
 from .state import ClientTrainState
@@ -118,9 +119,11 @@ class Client:
         combined = CombinedDataset(self.dataset, public_subset)
         self.dataset_size = len(combined)  # FedAvg weight update (client.py:303)
 
-        loader = BatchLoader(combined, cfg.data.combined_batch_size, shuffle=True,
-                             seed=cfg.runtime.seed + 17 * round_seed + self.cid,
-                             drop_last=True, num_workers=cfg.data.num_workers)
+        loader = DevicePrefetcher(
+            BatchLoader(combined, cfg.data.combined_batch_size, shuffle=True,
+                        seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+                        drop_last=True, num_workers=cfg.data.num_workers),
+            depth=cfg.data.prefetch)
 
         # assemble device state: fc = [local ; global] (client.py:313)
         fc = jnp.concatenate([jnp.asarray(self.fc_local), jnp.asarray(pretrained_fc)])
@@ -154,8 +157,7 @@ class Client:
             for imgs, labels, valid in loader.epoch():
                 key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, global_vars, last_vars,
-                                         jnp.asarray(imgs), jnp.asarray(labels),
-                                         jnp.asarray(valid), lr, sub)
+                                         imgs, labels, valid, lr, sub)
                 n_steps += 1
             # pull metrics once per epoch (avoid per-step device sync)
             m = jax.device_get(metrics)
@@ -182,9 +184,11 @@ class Client:
               step_fn=None, round_seed: int = 0) -> Dict[str, float]:
         """Plain CosFace-only local training (client.py:511-571)."""
         cfg = self.cfg
-        loader = BatchLoader(self.dataset, cfg.data.batch_size, shuffle=True,
-                             seed=cfg.runtime.seed + 17 * round_seed + self.cid,
-                             drop_last=False, num_workers=cfg.data.num_workers)
+        loader = DevicePrefetcher(
+            BatchLoader(self.dataset, cfg.data.batch_size, shuffle=True,
+                        seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+                        drop_last=False, num_workers=cfg.data.num_workers),
+            depth=cfg.data.prefetch)
         state = init_client_state(
             jax.tree_util.tree_map(jnp.asarray, backbone_vars),
             jnp.asarray(self.fc_local), None)
@@ -199,9 +203,7 @@ class Client:
         for _ in range(local_epochs):
             for imgs, labels, valid in loader.epoch():
                 key, sub = jax.random.split(key)
-                state, last_loss = step_fn(state, jnp.asarray(imgs),
-                                           jnp.asarray(labels), jnp.asarray(valid),
-                                           lr, sub)
+                state, last_loss = step_fn(state, imgs, labels, valid, lr, sub)
                 n_steps += 1
         state = jax.device_get(state)
         self.fc_local = np.asarray(state.fc)
