@@ -43,46 +43,81 @@ def _tile_histogram(feats_i, labels_i, gidx_i, feats_j, labels_j, gidx_j,
     return jnp.bincount(combined.reshape(-1), length=2 * bins + 1)[: 2 * bins]
 
 
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "num_i", "bins"))
+def _device_histogram(feats, labels, gidx, target_size, n_real, *, tile_i: int,
+                      tile_j: int, num_i: int, bins: int = NUM_BINS):
+    """Single-dispatch full histogram: fori over (i,j) tiles on device.
+
+    All operands live on device; tiles are dynamic slices of the resident
+    feature matrix, so the host moves the data exactly once.  Pair validity
+    (roc_cuda.py:17): ``gi < gj``, ``gi < target_size``, plus ``gj < n_real``
+    to kill padded rows.
+    """
+    n = feats.shape[0]
+    num_j = n // tile_j
+
+    def body(k, hist):
+        i0 = (k // num_j) * tile_i
+        j0 = (k % num_j) * tile_j
+        fj = jax.lax.dynamic_slice(feats, (j0, 0), (tile_j, feats.shape[1]))
+        lj = jax.lax.dynamic_slice(labels, (j0,), (tile_j,))
+        gj = jax.lax.dynamic_slice(gidx, (j0,), (tile_j,))
+        fi = jax.lax.dynamic_slice(feats, (i0, 0), (tile_i, feats.shape[1]))
+        li = jax.lax.dynamic_slice(labels, (i0,), (tile_i,))
+        gi = jax.lax.dynamic_slice(gidx, (i0,), (tile_i,))
+        sim = jnp.dot(fi, fj.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        idx = jnp.clip(((sim + 1.0) * 1000.0).astype(jnp.int32), 0, bins - 1)
+        is_pos = li[:, None] == lj[None, :]
+        valid = ((gi[:, None] < gj[None, :]) & (gi[:, None] < target_size)
+                 & (gj[None, :] < n_real))
+        combined = jnp.where(valid, idx * 2 + jnp.where(is_pos, 0, 1), 2 * bins)
+        return hist + jnp.bincount(combined.reshape(-1),
+                                   length=2 * bins + 1)[: 2 * bins]
+
+    return jax.lax.fori_loop(0, num_i * num_j, body,
+                             jnp.zeros(2 * bins, jnp.int32))
+
+
+def pairwise_roc_histogram_device(feats, labels, target_size: int,
+                                  tile_i: int = 4096, tile_j: int = 16384
+                                  ) -> jnp.ndarray:
+    """Device-resident histogram over already-ordered (target-first) feats.
+
+    ``feats``/``labels`` may be jnp or np; they are padded to tile multiples.
+    """
+    import math
+
+    n, e = np.shape(feats)
+    tile_i = min(tile_i, n)
+    tile_j = min(tile_j, max(n, 1))
+    step = math.lcm(tile_i, tile_j)
+    npad = ((n + step - 1) // step) * step
+    num_i = (min(target_size, n) + tile_i - 1) // tile_i  # i covers targets only
+    gidx = jnp.arange(npad, dtype=jnp.int32)
+
+    f = jnp.asarray(feats)
+    l = jnp.asarray(labels).astype(jnp.int32)
+    if npad > n:
+        f = jnp.concatenate([f, jnp.zeros((npad - n, e), f.dtype)])
+        l = jnp.concatenate([l, jnp.full(npad - n, -12345, jnp.int32)])
+    hist = _device_histogram(f, l, gidx, jnp.int32(target_size), jnp.int32(n),
+                             tile_i=tile_i, tile_j=tile_j, num_i=num_i)
+    return hist
+
+
 def pairwise_roc_histogram(feats: np.ndarray, labels: np.ndarray,
                            target_size: int, tile_i: int = 1024,
                            tile_j: int = 8192) -> np.ndarray:
     """(N,E) l2-normalized feats -> (2001, 2) [pos, neg] pair-count histogram.
 
     Rows [0, target_size) must be the target client's images (the caller
-    reorders, as roc_cuda.py:127-134 does).  Complexity: T*N/2 dot products
-    tiled (tile_i x tile_j) onto the MXU.
+    reorders, as roc_cuda.py:127-134 does).  One host->device upload; all
+    tiling happens on device (_device_histogram).
     """
-    n, e = feats.shape
-    hist = jnp.zeros(2 * NUM_BINS, jnp.int32)
-
-    def pad_to(arr, size, axis=0):
-        pad = size - arr.shape[axis]
-        if pad <= 0:
-            return arr
-        widths = [(0, 0)] * arr.ndim
-        widths[axis] = (0, pad)
-        return np.pad(arr, widths)
-
-    gidx = np.arange(n, dtype=np.int32)
-    ni = min(target_size, n)
-    for i0 in range(0, ni, tile_i):
-        fi = pad_to(feats[i0:i0 + tile_i], tile_i)
-        li = pad_to(labels[i0:i0 + tile_i], tile_i)
-        gi = pad_to(gidx[i0:i0 + tile_i], tile_i)
-        # padded i-rows have gidx 0 -> masked out via gidx_i < gidx_j except
-        # against j=0; force them invalid by target_size guard:
-        gi = np.where(np.arange(tile_i) < (min(i0 + tile_i, ni) - i0), gi, n + 1)
-        for j0 in range(i0 + 1, n, tile_j):  # j > i0 only (upper triangle)
-            fj = pad_to(feats[j0:j0 + tile_j], tile_j)
-            lj = pad_to(labels[j0:j0 + tile_j], tile_j)
-            gj = pad_to(gidx[j0:j0 + tile_j], tile_j)
-            gj = np.where(np.arange(tile_j) < (min(j0 + tile_j, n) - j0), gj, -1)
-            hist = hist + _tile_histogram(
-                jnp.asarray(fi), jnp.asarray(li), jnp.asarray(gi),
-                jnp.asarray(fj), jnp.asarray(lj), jnp.asarray(gj),
-                jnp.int32(target_size))
-    out = np.asarray(hist, dtype=np.int64).reshape(NUM_BINS, 2)
-    return out
+    hist = pairwise_roc_histogram_device(feats, labels, target_size,
+                                         tile_i, tile_j)
+    return np.asarray(hist, dtype=np.int64).reshape(NUM_BINS, 2)
 
 
 def roc_from_histogram(hist: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
