@@ -103,6 +103,30 @@ class Client:
             imgidx = np.array([1])
         return public_dataset.subset(imgidx)
 
+    def select_hard_negatives_fc(self, pretrain_fc: np.ndarray,
+                                 public_dataset: FaceRecordDataset,
+                                 public_labels: np.ndarray,
+                                 threshold: float = 0.2) -> FaceRecordDataset:
+        """FC-based mining (reference choose_hard_negative, client.py:227-267):
+        cosine similarity between the client's local FC rows and the public FC
+        rows selects hard-negative identities; all their images survive."""
+        import jax
+
+        sim = np.asarray(jax.jit(
+            lambda a, b: jnp.dot(
+                a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-12),
+                (b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-12)).T,
+                precision=jax.lax.Precision.HIGHEST))(
+            jnp.asarray(self.fc_local), jnp.asarray(pretrain_fc)))
+        ids = np.unique(np.nonzero(sim > threshold)[1])
+        logger.info("client %d: %d IDs are hard negative (FC-based)",
+                    self.cid, len(ids))
+        keep = np.isin(public_labels, ids)
+        imgidx = np.nonzero(keep)[0] + 1
+        if len(imgidx) == 0:
+            imgidx = np.array([1])
+        return public_dataset.subset(imgidx)
+
     def train_with_public_data(self, backbone_vars, public_dataset,
                                pretrained_fc: np.ndarray,
                                public_feats: Optional[np.ndarray],

@@ -37,10 +37,12 @@ class IBasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    freeze_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
+        train = train and not self.freeze_bn  # freeze_BN (iresnet.py:140-148)
         y = batch_norm(train, name="bn1")(x.astype(jnp.float32))
         y = conv3x3(self.features, dtype=self.dtype,
                     kernel_init=normal_init(0.1), name="conv1")(y.astype(self.dtype))
@@ -63,15 +65,17 @@ class IResNet(nn.Module):
     embedding_size: int = 512
     dropout: float = 0.0
     bf16: bool = True
+    freeze_bn: bool = False  # BN in eval mode during training (iresnet.py:140)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         layers = _DEPTH_LAYERS[self.depth]
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        bn_train = train and not self.freeze_bn
 
         x = conv3x3(64, dtype=dtype, kernel_init=normal_init(0.1), name="conv1")(
             x.astype(dtype))
-        x = batch_norm(train, name="bn1")(x.astype(jnp.float32))
+        x = batch_norm(bn_train, name="bn1")(x.astype(jnp.float32))
         x = PReLU(64, dtype=jnp.float32, name="prelu")(x)
 
         inplanes = 64
@@ -80,16 +84,17 @@ class IResNet(nn.Module):
                 stride = 2 if b == 0 else 1
                 need_ds = stride != 1 or inplanes != feats
                 x = IBasicBlock(feats, stride=stride, downsample=need_ds, dtype=dtype,
+                                freeze_bn=self.freeze_bn,
                                 name=f"layer{stage}_block{b}")(x, train=train)
                 inplanes = feats
 
-        x = batch_norm(train, name="bn2")(x.astype(jnp.float32))
+        x = batch_norm(bn_train, name="bn2")(x.astype(jnp.float32))
         x = x.reshape(x.shape[0], -1)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = dense_fp32(self.embedding_size, name="fc")(x)
         # BN1d "features" head: scale frozen at 1 (use_scale=False), bias trained
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
                          use_scale=False, use_bias=True, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="features")(x)
         return x

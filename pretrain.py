@@ -1,0 +1,169 @@
+"""Public-set pretraining with the class-sharded Partial FC (multi-chip).
+
+The reference ships PartialFC (partial_fc.py) for the pretraining stage that
+produced pretrain/backbone.pth + fc.pth but not the stage itself; here it is
+a first-class CLI.  The margin-softmax FC is row-sharded over the mesh
+``model`` axis (every device holds a batch shard AND a class shard, the
+reference's NCCL rank layout) with optional negative-class sampling; the
+backbone is data-parallel over the same axis.
+
+    python pretrain.py --data_dir .../split_pretrain_6000/client_0000 \
+        --network sphnet --output_dir ./pretrain --num_epoch 16 \
+        --batch_size 512 --lr 0.05 --sample_rate 1.0
+"""
+
+import argparse
+import os
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fedfr_tpu.data.datasets import BatchLoader, FaceRecordDataset
+    from fedfr_tpu.data.pipeline import DevicePrefetcher
+    from fedfr_tpu.federated.state import train_preprocess
+    from fedfr_tpu.models import build_backbone
+    from fedfr_tpu.parallel.mesh import model_mesh
+    from fedfr_tpu.parallel.partial_fc import (
+        pad_classes,
+        partial_fc_loss,
+        sampled_partial_fc_loss,
+    )
+    from fedfr_tpu.utils import torch_interop
+    from fedfr_tpu.utils.checkpoint import save_native
+    from fedfr_tpu.utils.logging import AverageMeter, ThroughputLogger, init_logging
+    from fedfr_tpu.utils.optim import sgd_init, sgd_update
+
+    logger = init_logging(args.output_dir, log_name="pretrain.log")
+    mesh = model_mesh()
+    n_shards = mesh.shape["model"]
+    logger.info("partial-FC over %d model shards", n_shards)
+
+    dataset = FaceRecordDataset(args.data_dir)
+    num_classes = int(dataset.num_classes)
+    labels_all = dataset.all_labels()
+    logger.info("public set: %d imgs / %d ids", len(dataset), num_classes)
+
+    backbone = build_backbone(args.network, args.embedding_size, bf16=not args.fp32)
+    key = jax.random.PRNGKey(args.seed)
+    variables = backbone.init(key, jnp.zeros((1, args.image_size, args.image_size, 3)),
+                              train=False)
+    weight = 0.01 * jax.random.normal(jax.random.PRNGKey(args.seed + 1),
+                                      (num_classes, args.embedding_size))
+    weight, num_valid = pad_classes(weight, n_shards)
+
+    if args.sample_rate < 1.0:
+        num_sample = max(1, int(args.sample_rate * weight.shape[0] // n_shards))
+        pfc = sampled_partial_fc_loss(mesh, num_sample, args.loss, args.scale,
+                                      args.margin)
+        sampled = True
+    else:
+        pfc = partial_fc_loss(mesh, args.loss, args.scale, args.margin,
+                              num_valid=num_valid)
+        sampled = False
+
+    def loss_fn(params, batch_stats, weight, x, labels, rng):
+        vars_ = {"params": params}
+        if batch_stats is not None:
+            vars_["batch_stats"] = batch_stats
+        if batch_stats is not None:
+            feats, mutated = backbone.apply(vars_, x, train=True,
+                                            mutable=["batch_stats"])
+            new_bs = mutated["batch_stats"]
+        else:
+            feats = backbone.apply(vars_, x, train=True)
+            new_bs = None
+        if sampled:
+            loss = pfc(rng, feats, labels, weight)
+        else:
+            loss = pfc(feats, labels, weight)
+        return loss, new_bs
+
+    @jax.jit
+    def train_step(params, batch_stats, weight, opt, wopt, u8, labels, lr, rng):
+        prng, srng = jax.random.split(rng)
+        x = train_preprocess(prng, u8)
+        (loss, new_bs), (gp, gw) = jax.value_and_grad(
+            loss_fn, argnums=(0, 2), has_aux=True)(
+            params, batch_stats, weight, x, labels, srng)
+        params, opt = sgd_update(params, gp, opt, lr, args.momentum,
+                                 args.weight_decay)
+        weight, wopt = sgd_update(weight, gw, wopt, lr, args.momentum,
+                                  args.weight_decay)
+        return params, new_bs, weight, opt, wopt, loss
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    opt = sgd_init(params)
+    wopt = sgd_init(weight)
+
+    batch_sharding = NamedSharding(mesh, P("model"))
+    weight = jax.device_put(weight, batch_sharding)
+
+    milestones = [int(m) for m in args.lr_steps.split(",") if m]
+    loader = DevicePrefetcher(
+        BatchLoader(dataset, args.batch_size, shuffle=True, seed=args.seed,
+                    drop_last=True, num_workers=args.num_workers))
+    meter = AverageMeter()
+    total_step = args.num_epoch * len(loader.loader)
+    tlog = ThroughputLogger(args.log_every, total_step, args.batch_size, logger)
+    rng = jax.random.PRNGKey(args.seed + 7)
+    gstep = 0
+    for epoch in range(args.num_epoch):
+        lr = args.lr * (0.1 ** sum(1 for m in milestones if m - 1 <= epoch))
+        for u8, labels, valid in loader.epoch():
+            rng, sub = jax.random.split(rng)
+            u8 = jax.device_put(u8, batch_sharding)
+            labels = jax.device_put(labels, batch_sharding)
+            params, batch_stats, weight, opt, wopt, loss = train_step(
+                params, batch_stats, weight, opt, wopt, u8, labels, lr, sub)
+            gstep += 1
+            if gstep % args.log_every == 0:
+                meter.update(float(loss))
+            tlog(gstep, meter, epoch)
+        logger.info("epoch %d done, lr %.5f", epoch, lr)
+
+        out_vars = {"params": jax.device_get(params)}
+        if batch_stats is not None:
+            out_vars["batch_stats"] = jax.device_get(batch_stats)
+        try:
+            sd = torch_interop.backbone_to_torch(args.network, out_vars)
+            torch_interop.save_pth(sd, os.path.join(args.output_dir, "backbone.pth"))
+        except NotImplementedError:
+            save_native(out_vars, os.path.join(args.output_dir, "backbone.npz"))
+        import torch
+
+        fc_full = np.asarray(jax.device_get(weight))[:num_valid]
+        torch_interop.save_pth(torch.from_numpy(fc_full),
+                               os.path.join(args.output_dir, "fc.pth"))
+        torch_interop.save_pth(
+            torch.from_numpy(labels_all.astype(np.int64)),
+            os.path.join(args.output_dir, "preCos_pretrain_labels.pth"))
+    logger.info("pretraining done")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Partial-FC pretraining")
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--output_dir", default="./pretrain")
+    parser.add_argument("--network", default="sphnet")
+    parser.add_argument("--loss", default="CosFace")
+    parser.add_argument("--embedding_size", type=int, default=512)
+    parser.add_argument("--image_size", type=int, default=112)
+    parser.add_argument("--batch_size", type=int, default=512)
+    parser.add_argument("--num_epoch", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=0.05)
+    parser.add_argument("--lr_steps", default="6,14")
+    parser.add_argument("--scale", type=float, default=64.0)
+    parser.add_argument("--margin", type=float, default=0.4)
+    parser.add_argument("--momentum", type=float, default=0.9)
+    parser.add_argument("--weight_decay", type=float, default=5e-4)
+    parser.add_argument("--sample_rate", type=float, default=1.0)
+    parser.add_argument("--num_workers", type=int, default=6)
+    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--seed", type=int, default=100)
+    parser.add_argument("--fp32", action="store_true")
+    main(parser.parse_args())
