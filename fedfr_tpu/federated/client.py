@@ -127,13 +127,16 @@ class Client:
             imgidx = np.array([1])
         return public_dataset.subset(imgidx)
 
-    def train_with_public_data(self, backbone_vars, public_dataset,
-                               pretrained_fc: np.ndarray,
-                               public_feats: Optional[np.ndarray],
-                               public_labels: Optional[np.ndarray],
-                               local_epochs: int, train_decay: int,
-                               step_fn=None, round_seed: int = 0) -> Dict[str, float]:
-        """One local run of the joint objective (client.py:287-508)."""
+    def prepare_local_run(self, backbone_vars, public_dataset,
+                          pretrained_fc: np.ndarray,
+                          public_feats: Optional[np.ndarray],
+                          public_labels: Optional[np.ndarray],
+                          round_seed: int = 0):
+        """Mining + combined loader + initial device state for one local run.
+
+        Shared by the sequential path (train_with_public_data) and the
+        client-parallel round (server.train_round_parallel).
+        """
         cfg = self.cfg
         if public_feats is not None:
             public_subset = self.select_hard_negatives(
@@ -143,20 +146,45 @@ class Client:
         combined = CombinedDataset(self.dataset, public_subset)
         self.dataset_size = len(combined)  # FedAvg weight update (client.py:303)
 
-        loader = DevicePrefetcher(
-            BatchLoader(combined, cfg.data.combined_batch_size, shuffle=True,
-                        seed=cfg.runtime.seed + 17 * round_seed + self.cid,
-                        drop_last=True, num_workers=cfg.data.num_workers),
-            depth=cfg.data.prefetch)
+        loader = BatchLoader(combined, cfg.data.combined_batch_size, shuffle=True,
+                             seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+                             drop_last=True, num_workers=cfg.data.num_workers)
 
         # assemble device state: fc = [local ; global] (client.py:313)
         fc = jnp.concatenate([jnp.asarray(self.fc_local), jnp.asarray(pretrained_fc)])
         state = init_client_state(
             jax.tree_util.tree_map(jnp.asarray, backbone_vars), fc,
             jax.tree_util.tree_map(jnp.asarray, self.bce_vars))
-        global_vars = jax.tree_util.tree_map(jnp.asarray, backbone_vars)
         last_vars = (jax.tree_util.tree_map(jnp.asarray, self.last_backbone)
-                     if self.last_backbone is not None else global_vars)
+                     if self.last_backbone is not None
+                     else jax.tree_util.tree_map(jnp.asarray, backbone_vars))
+        return combined, loader, state, last_vars
+
+    def finalize_local_run(self, state, avg_loss: float) -> None:
+        """Persist the trained state on host (client.py:468-508)."""
+        state = jax.device_get(state)
+        fc_np = np.asarray(state.fc)
+        self.fc_local = fc_np[: self.num_classes]
+        self.global_fc = fc_np[self.num_classes:]
+        self.bce_vars = state.bce
+        self.trained_backbone = state.backbone
+        if self.last_backbone is not None:
+            self.last_backbone = state.backbone
+        self.last_loss = float(avg_loss)
+
+    def train_with_public_data(self, backbone_vars, public_dataset,
+                               pretrained_fc: np.ndarray,
+                               public_feats: Optional[np.ndarray],
+                               public_labels: Optional[np.ndarray],
+                               local_epochs: int, train_decay: int,
+                               step_fn=None, round_seed: int = 0) -> Dict[str, float]:
+        """One local run of the joint objective (client.py:287-508)."""
+        cfg = self.cfg
+        combined, base_loader, state, last_vars = self.prepare_local_run(
+            backbone_vars, public_dataset, pretrained_fc, public_feats,
+            public_labels, round_seed)
+        loader = DevicePrefetcher(base_loader, depth=cfg.data.prefetch)
+        global_vars = jax.tree_util.tree_map(jnp.asarray, backbone_vars)
 
         if step_fn is None:
             step_fn = make_branch_train_step(
@@ -191,16 +219,7 @@ class Client:
                         float(m.loss), float(m.cos_loss), float(m.bce_loss),
                         float(m.con_loss))
 
-        # persist results on host
-        state = jax.device_get(state)
-        fc_np = np.asarray(state.fc)
-        self.fc_local = fc_np[: self.num_classes]
-        self.global_fc = fc_np[self.num_classes:]
-        self.bce_vars = state.bce
-        self.trained_backbone = state.backbone
-        if self.last_backbone is not None:
-            self.last_backbone = state.backbone
-        self.last_loss = float(loss_sum[0] / max(local_epochs, 1))
+        self.finalize_local_run(state, loss_sum[0] / max(local_epochs, 1))
         return {"loss": self.last_loss, "steps": n_steps,
                 "dataset_size": self.dataset_size}
 

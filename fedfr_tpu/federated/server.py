@@ -211,6 +211,139 @@ class Server:
         self.global_round += 1
         return {"avg_loss": float(np.mean(losses))}
 
+    def train_round_parallel(self, mesh) -> Dict[str, float]:
+        """Train K clients per step concurrently over the mesh ``client`` axis.
+
+        Replaces the reference's sequential client loop (server.py:283-316)
+        with lockstep vmapped training: the sampled clients are chunked into
+        groups of K = mesh client-axis size; within a group every client
+        advances one step per dispatch, each on its own mesh slice.  Clients
+        whose (hard-negative-dependent) epoch is shorter than the group's
+        longest simply wrap around their shuffled loader — a documented
+        deviation from strict per-client epoch boundaries.
+        """
+        import itertools
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.client_parallel import (
+            make_parallel_branch_step,
+            stack_client_batches,
+        )
+        from ..parallel.fedavg import stack_trees, unstack_tree
+
+        cfg = self.cfg
+        if not self.current_client_list:
+            self.current_client_list = self.sample_clients()
+        public_feats = None
+        if cfg.fed.add_pretrained_data:
+            public_feats = self.generate_public_features()
+        if cfg.fed.adaptive_local_epoch and self.global_round != 0:
+            self.local_epoch = max(4, self.local_epoch - 2)
+            self.train_decay = max(1, int(3 / 4 * self.local_epoch))
+
+        K = mesh.shape["client"]
+        step_fn = make_parallel_branch_step(
+            self.backbone, self.bce_module, margin=cfg.loss.loss,
+            s=cfg.loss.margin_s, m=cfg.loss.margin_m,
+            bce_weight=cfg.loss.bce_weight, bce_r=cfg.loss.bce_r,
+            bce_lambda=cfg.loss.bce_lambda, mu=cfg.loss.mu,
+            temperature=cfg.loss.temperature, momentum=cfg.optim.momentum,
+            weight_decay=cfg.optim.weight_decay, bce_detach=cfg.fed.bce_detach,
+            contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
+            num_local=self.clients[0].num_classes,
+            num_clients=cfg.data.num_clients)
+
+        from ..utils.optim import step_lr
+
+        client_shard = NamedSharding(mesh, P("client"))
+        repl = NamedSharding(mesh, P())
+        models, fcs, sizes, losses = [], [], [], []
+        todo = list(self.current_client_list)
+        for g0 in range(0, len(todo), K):
+            group = todo[g0:g0 + K]
+            pad = K - len(group)
+            members = group + [group[0]] * pad  # padded slots discarded below
+            preps = []
+            for cid in members:
+                preps.append(self.clients[cid].prepare_local_run(
+                    self.federated_vars, self.data.public_dataset,
+                    self.pretrained_fc, public_feats, self.pretrained_labels,
+                    round_seed=self.global_round))
+            loaders = [p[1] for p in preps]
+            steps_per_epoch = max(len(l) for l in loaders)
+            if steps_per_epoch == 0:
+                raise ValueError("combined datasets smaller than the batch size")
+
+            def cycling(loader):
+                while True:
+                    yield from loader.epoch()
+
+            iters = [cycling(l) for l in loaders]
+            stacked = stack_trees([p[2] for p in preps])
+            stacked = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, client_shard), stacked)
+            last_stacked = stack_trees([p[3] for p in preps])
+            last_stacked = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, client_shard), last_stacked)
+            global_repl = jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), repl),
+                self.federated_vars)
+
+            keys = np.stack([np.asarray(jax.random.PRNGKey(
+                cfg.runtime.seed + 31 * self.global_round + cid))
+                for cid in members])
+            metrics = None
+            for epoch in range(self.local_epoch):
+                lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
+                             cfg.optim.lr_gamma)
+                for s in range(steps_per_epoch):
+                    batches = [next(it) for it in iters]
+                    imgs, labels, valid = stack_client_batches(batches)
+                    keys = keys + 1  # distinct fold per step
+                    stacked, metrics = step_fn(
+                        stacked,
+                        global_repl,
+                        last_stacked,
+                        jax.device_put(imgs, client_shard),
+                        jax.device_put(labels, client_shard),
+                        jax.device_put(valid, client_shard),
+                        jnp.float32(lr),
+                        jax.device_put(keys, client_shard))
+                logger.info("parallel group %s epoch %d/%d done",
+                            group, epoch + 1, self.local_epoch)
+
+            m = jax.device_get(metrics)
+            states = unstack_tree(jax.device_get(stacked), K)
+            for slot, cid in enumerate(group):
+                client = self.clients[cid]
+                client.finalize_local_run(states[slot], float(m.loss[slot]))
+                losses.append(client.last_loss)
+                sizes.append(client.dataset_size)
+                models.append(client.trained_backbone)
+                if cfg.fed.return_all and client.global_fc is not None:
+                    fcs.append(client.global_fc)
+                if (self.local_eval_callback is not None
+                        and cid in self.local_candidates):
+                    self.local_eval_callback(self, client)
+
+        weights = jnp.asarray(sizes, jnp.float32)
+        logger.info("round %d (parallel) avg client loss %.5f",
+                    self.global_round, float(np.mean(losses)))
+        stacked_models = stack_trees(
+            [jax.tree_util.tree_map(jnp.asarray, m) for m in models])
+        self.federated_vars = jax.device_get(
+            fed_weighted_average(stacked_models, weights))
+        if cfg.fed.return_all and fcs:
+            self.pretrained_fc = np.asarray(fedavg_on_fc(
+                jnp.asarray(self.pretrained_fc),
+                jnp.stack([jnp.asarray(f) for f in fcs]), weights, p=1.0))
+        if cfg.fed.spreadout:
+            self.spread_out()
+        self.global_epoch += self.local_epoch
+        self.global_round += 1
+        return {"avg_loss": float(np.mean(losses))}
+
     def spread_out(self) -> None:
         """SpreadOut over the sampled clients' local FCs (server.py:340-371)."""
         cfg = self.cfg

@@ -157,6 +157,27 @@ def test_round_checkpoint_roundtrip(fl_root, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_client_parallel_round(fl_root):
+    """Client-parallel round over the mesh client axis matches the engine's
+    contract: all clients trained, aggregation applied."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg(fl_root, spreadout=True)
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+    mesh = make_mesh((4, 2, 1))
+    before = jax.tree_util.tree_map(np.asarray, server.federated_vars)
+    stats = server.train_round_parallel(mesh)
+    assert np.isfinite(stats["avg_loss"])
+    assert server.global_round == 1
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        before, server.federated_vars)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    for c in server.clients:
+        assert c.trained_backbone is not None
+
+
 def test_hard_negative_mask_threshold():
     feats = np.eye(4, dtype=np.float32)
     public = np.concatenate([np.eye(4, dtype=np.float32),

@@ -134,11 +134,25 @@ def main(args):
         restored = ckpt.restore(server)
         logger.info("resumed at round %d", restored)
 
+    # multi-chip: train clients concurrently over the mesh client axis
+    import jax
+
+    mesh = None
+    if cfg.fed.client_parallel and len(jax.devices()) > 1:
+        from fedfr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        logger.info("client-parallel training over %d devices",
+                    mesh.shape["client"])
+
     logger.info("=== Start Federated learning ===")
     while server.global_round < cfg.fed.total_rounds:
         server.current_client_list = server.sample_clients()
         logger.info("====== Round %d ======", server.global_round)
-        server.train_round()
+        if mesh is not None and cfg.fed.add_pretrained_data:
+            server.train_round_parallel(mesh)
+        else:
+            server.train_round()
         server.test()
         try:
             server.save_round_checkpoint(cfg.runtime.output_dir)
