@@ -107,12 +107,26 @@ def _chunk_max_sim(local_feats, public_chunk):
 
 
 def hard_negative_mask(local_feats: np.ndarray, public_feats: np.ndarray,
-                       threshold: float, chunk: int = 65536) -> np.ndarray:
+                       threshold: float, chunk: int = 65536,
+                       backend: str = "auto") -> np.ndarray:
     """Boolean mask over public images with cos-sim > threshold to ANY local
     image (feature-based hard-negative mining, reference client.py:191-224).
 
-    Both inputs must be l2-normalized.  Tiled matmul on device; O(N_pub) memory.
+    Both inputs must be l2-normalized.  backend='pallas' uses the fused
+    similarity+row-max TPU kernel (ops/pallas_kernels.py) which never
+    materializes the similarity matrix; 'xla' is the exact chunked fallback;
+    'auto' picks pallas on TPU backends.
     """
+    if backend == "auto":
+        from ..ops.pallas_kernels import pallas_available
+
+        backend = "pallas" if pallas_available() else "xla"
+    if backend == "pallas":
+        from ..ops.pallas_kernels import max_cosine_similarity
+
+        ms = np.asarray(max_cosine_similarity(jnp.asarray(public_feats),
+                                              jnp.asarray(local_feats)))
+        return ms > threshold
     n = public_feats.shape[0]
     lf = jnp.asarray(local_feats)
     out = np.empty(n, dtype=np.float32)

@@ -1,0 +1,99 @@
+"""Pallas TPU kernels for the framework's hot fused ops.
+
+``max_cosine_similarity`` — for every public-set row, the maximum cosine
+similarity against all of a client's local rows.  This is the inner kernel of
+feature-based hard-negative mining (reference client.py:191-224 computes the
+full similarity matrix and thresholds it): only the row-max matters, so the
+kernel keeps each (TP x TL) similarity tile in VMEM and reduces it on the fly
+— the full matrix (420k x ~7k f32 ≈ 11 GB per client per round) never touches
+HBM.  An XLA fallback with identical semantics lives in
+``federated/embed.hard_negative_mask``.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+* grid (public_tiles, local_tiles); the output block of a public tile is
+  revisited across the local-tile axis and accumulated with ``maximum``
+  (init on the first visit).
+* both operands stream through VMEM in MXU-aligned (128-multiple) tiles;
+  callers pad row counts — local padding must REPLICATE a real row (zero
+  rows would inject sim=0 into the max).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+
+def _max_sim_kernel(fj_ref, fi_ref, out_ref):
+    # single-pass bf16 MXU matmul (~1e-3 abs error on unit-norm cosines):
+    # mining thresholds a heuristic 0.4 cutoff, and the features themselves
+    # come out of a bf16 trunk, so the fast pass is the right trade.  Mosaic
+    # supports DEFAULT/HIGHEST only; HIGHEST triples MXU passes and erases
+    # the fusion win (measured 189ms vs 112ms on the 420k x 6.6k workload).
+    sim = jnp.dot(fj_ref[:], fi_ref[:].T, preferred_element_type=jnp.float32)
+    m = jnp.max(sim, axis=1, keepdims=True)  # (TP, 1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[:] = m
+
+    @pl.when(pl.program_id(1) > 0)
+    def _acc():
+        out_ref[:] = jnp.maximum(out_ref[:], m)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_p", "tile_l", "interpret"))
+def _max_sim_padded(public, local, *, tile_p: int, tile_l: int,
+                    interpret: bool = False):
+    np_, e = public.shape
+    nl, _ = local.shape
+    grid = (np_ // tile_p, nl // tile_l)
+    return pl.pallas_call(
+        _max_sim_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_p, e), lambda p, l: (p, 0)),
+            pl.BlockSpec((tile_l, e), lambda p, l: (l, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_p, 1), lambda p, l: (p, 0)),
+        out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
+        interpret=interpret,
+    )(public, local)
+
+
+def max_cosine_similarity(public_feats, local_feats, tile_p: int = 512,
+                          tile_l: int = 512, interpret: bool = False
+                          ) -> jnp.ndarray:
+    """(N_pub,) max-over-local cosine similarity; inputs l2-normalized.
+
+    Row counts are padded to tile multiples: public padding rows are dropped
+    from the output; local padding replicates row 0 (max-neutral).
+    """
+    public_feats = jnp.asarray(public_feats, jnp.float32)
+    local_feats = jnp.asarray(local_feats, jnp.float32)
+    np_, e = public_feats.shape
+    nl = local_feats.shape[0]
+    pp = (-np_) % tile_p
+    if pp:
+        public_feats = jnp.concatenate(
+            [public_feats, jnp.zeros((pp, e), jnp.float32)])
+    pads = (-nl) % tile_l
+    if pads:
+        public0 = jnp.broadcast_to(local_feats[:1], (pads, e))
+        local_feats = jnp.concatenate([local_feats, public0])
+    out = _max_sim_padded(public_feats, local_feats, tile_p=tile_p,
+                          tile_l=tile_l, interpret=interpret)
+    return out[:np_, 0]
+
+
+def pallas_available() -> bool:
+    """True when running on a real TPU backend (Mosaic path)."""
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
