@@ -98,6 +98,49 @@ def client_query_mask(labels: np.ndarray, start_id: int, end_id: int,
     return mask
 
 
+class LocalVerificationCallback:
+    """Per-round personalized 1:1 verification for sampled clients.
+
+    In-process equivalent of the reference CallBack_LocalVerifi
+    (eval_local.py:74-105), which re-embedded the 160k-image local set and
+    shelled out to roc_cuda.py per client.  Here embedding reuses the shared
+    jitted forward and the ROC histogram runs as one device dispatch.
+    """
+
+    def __init__(self, backbone, bce_module, veri_dataset, output_dir: str,
+                 batch_size: int = 512, frequent: int = 1, threshold: int = -1):
+        from ..federated.embed import make_embed_fn
+
+        self.embed_fn = make_embed_fn(backbone, bce_module)
+        self.plain_embed_fn = make_embed_fn(backbone)
+        self.dataset = veri_dataset
+        self.output_dir = output_dir
+        self.batch_size = batch_size
+        self.frequent = frequent
+        self.threshold = threshold
+        self.client_record: dict = {}
+
+    def veri_test(self, backbone_vars, global_step: int, id_list,
+                  client_id: int, bce_params=None) -> Optional[List[float]]:
+        if global_step < self.threshold or global_step % self.frequent != 0:
+            return None
+        from ..federated.embed import embed_dataset
+
+        if bce_params is not None:
+            feats, labels = embed_dataset(self.embed_fn, backbone_vars,
+                                          self.dataset, self.batch_size,
+                                          bce_params=bce_params)
+        else:
+            feats, labels = embed_dataset(self.plain_embed_fn, backbone_vars,
+                                          self.dataset, self.batch_size)
+        client_dir = os.path.join(self.output_dir, "clients",
+                                  f"client_{client_id}")
+        table = local_11_roc(feats, labels, id_list[0], id_list[-1] + 1,
+                             epoch=global_step, output_dir=client_dir)
+        self.client_record.setdefault(client_id, []).append((global_step, table))
+        return table
+
+
 def rank_accuracy(query_feats: np.ndarray, gallery_feats: np.ndarray,
                   mask: np.ndarray, ks: Sequence[int] = (1, 5, 10)) -> dict:
     """Closed-set top-k accuracy (reference ijbc_all.py:379-402 math)."""

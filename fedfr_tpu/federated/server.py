@@ -122,7 +122,23 @@ class Server:
             logger.info("generated pretrain FC %s", self.pretrained_fc.shape)
 
     def initialize_local_fcs(self) -> None:
-        """Mean-embedding init of every client's local FC (server.py:157-180)."""
+        """Mean-embedding init of every client's local FC (server.py:157-180).
+
+        A cached init matrix (preCos_init_AN.pth, all clients' rows stacked)
+        in the pretrained root is preloaded instead of re-deriving, mirroring
+        server.py:158-167.
+        """
+        pre_root = self.cfg.runtime.pretrained_root
+        cache = os.path.join(pre_root, "preCos_init_AN.pth") if pre_root else ""
+        if cache and os.path.exists(cache):
+            init_matrix = np.asarray(torch_interop.load_pth(cache).numpy(),
+                                     dtype=np.float32)
+            logger.info("preload clients FC init %s", init_matrix.shape)
+            start = 0
+            for c in self.clients:
+                c.fc_local = init_matrix[start:start + c.num_classes]
+                start += c.num_classes
+            return
         for c in self.clients:
             c.init_fc_from_means(self.federated_vars)
             logger.info("client %d FC initialized", c.cid)

@@ -60,10 +60,9 @@ def main(args):
     import numpy as np
 
     from fedfr_tpu.data.datasets import AllClientData, FaceRecordDataset
-    from fedfr_tpu.evalsuite.local_eval import local_11_roc
     from fedfr_tpu.evalsuite.verification import BinVerificationCallback
     from fedfr_tpu.federated import Server
-    from fedfr_tpu.federated.embed import embed_dataset, make_embed_fn
+    from fedfr_tpu.federated.embed import make_embed_fn
     from fedfr_tpu.utils import torch_interop
     from fedfr_tpu.utils.checkpoint import save_native
     from fedfr_tpu.utils.logging import init_logging
@@ -88,9 +87,19 @@ def main(args):
             embed_fn, cfg.runtime.val_targets, cfg.data.val_root, logger=logger,
             image_size=(cfg.data.image_size, cfg.data.image_size))
 
-    local_veri = None
+    local_cb = None
     if cfg.data.local_veri_dir and os.path.exists(cfg.data.local_veri_dir):
+        from fedfr_tpu.evalsuite.local_eval import LocalVerificationCallback
+        from fedfr_tpu.models import BCEModule, build_backbone as _bb
+
         local_veri = FaceRecordDataset(cfg.data.local_veri_dir, prefix="test")
+        bb = _bb(cfg.model.network, cfg.model.embedding_size,
+                 cfg.model.dropout, cfg.model.bf16)
+        bce = BCEModule(cfg.model.embedding_size, data.train_class_sizes[0],
+                        cfg.model.converter_layers)
+        local_cb = LocalVerificationCallback(
+            bb, bce, local_veri, cfg.runtime.output_dir,
+            batch_size=cfg.data.eval_batch_size)
 
     def eval_callback(server):
         if bin_cb is None:
@@ -110,19 +119,12 @@ def main(args):
         return {"acc": accs}
 
     def local_eval_callback(server, client):
-        if local_veri is None or client.trained_backbone is None:
+        if local_cb is None or client.trained_backbone is None:
             return
         bce_params = (client.bce_vars["params"] if client.bce_vars is not None
                       else None)
-        efn = make_embed_fn(server.backbone, server.bce_module)
-        feats, labels = embed_dataset(
-            efn, client.trained_backbone, local_veri,
-            cfg.data.eval_batch_size, bce_params=bce_params)
-        local_11_roc(feats, labels, client.id_base,
-                     client.id_base + client.num_classes,
-                     epoch=server.global_round,
-                     output_dir=os.path.join(cfg.runtime.output_dir, "clients",
-                                             f"client_{client.cid}"))
+        local_cb.veri_test(client.trained_backbone, server.global_round,
+                           client.target_ids, client.cid, bce_params)
 
     server = Server(cfg, data, eval_callback=eval_callback,
                     local_eval_callback=local_eval_callback)
