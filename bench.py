@@ -29,7 +29,7 @@ def main():
     from fedfr_tpu.models import build_backbone
     from fedfr_tpu.federated.state import normalize_images
 
-    batch = 256
+    batch = 2048  # large batches keep the small-spatial stages MXU-bound
     backbone = build_backbone("sphnet", 512, bf16=True)
     variables = backbone.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 112, 112, 3)), train=False)
@@ -45,7 +45,7 @@ def main():
     def make_batch(key):
         return jax.random.randint(key, (batch, 112, 112, 3), 0, 255, jnp.uint8)
 
-    iters = 16
+    iters = 6
     keys = jax.random.split(jax.random.PRNGKey(0), iters)
     batches = [make_batch(k) for k in keys]
     for b in batches:
