@@ -223,8 +223,6 @@ class Server:
         if cfg.fed.spreadout:
             self.spread_out()
 
-        self.global_epoch += self.local_epoch
-        self.global_round += 1
         return {"avg_loss": float(np.mean(losses))}
 
     def train_round_parallel(self, mesh) -> Dict[str, float]:
@@ -356,8 +354,6 @@ class Server:
                 jnp.stack([jnp.asarray(f) for f in fcs]), weights, p=1.0))
         if cfg.fed.spreadout:
             self.spread_out()
-        self.global_epoch += self.local_epoch
-        self.global_round += 1
         return {"avg_loss": float(np.mean(losses))}
 
     def spread_out(self) -> None:
@@ -374,6 +370,11 @@ class Server:
             n = self.clients[cid].num_classes
             self.clients[cid].fc_local = out[start:start + n]
             start += n
+
+    def advance_round(self) -> None:
+        """Counter bookkeeping after a round (reference train.py:87-88)."""
+        self.global_epoch += self.local_epoch
+        self.global_round += 1
 
     def test(self) -> Optional[Dict[str, float]]:
         if self.eval_callback is not None:

@@ -99,6 +99,7 @@ def test_full_fedfr_round(fl_root):
 
     stats = server.train_round()
     assert np.isfinite(stats["avg_loss"])
+    server.advance_round()
     assert server.global_round == 1
 
     after = server.federated_vars
@@ -169,6 +170,7 @@ def test_client_parallel_round(fl_root):
     before = jax.tree_util.tree_map(np.asarray, server.federated_vars)
     stats = server.train_round_parallel(mesh)
     assert np.isfinite(stats["avg_loss"])
+    server.advance_round()
     assert server.global_round == 1
     diff = jax.tree_util.tree_map(
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),

@@ -161,8 +161,9 @@ def main(args):
         except NotImplementedError:
             save_native(server.federated_vars,
                         os.path.join(cfg.runtime.output_dir,
-                                     f"backbone_{server.global_round - 1}.npz"))
+                                     f"backbone_{server.global_round}.npz"))
         server.save_client_checkpoints(cfg.runtime.output_dir)
+        server.advance_round()
         ckpt.save(server)
     logger.info("training done")
 
