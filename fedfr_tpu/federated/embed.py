@@ -40,6 +40,27 @@ def make_embed_fn(backbone, bce_module=None) -> Callable:
     return embed
 
 
+def make_sharded_embed_fn(backbone, mesh, axis: str = "data",
+                          bce_module=None) -> Callable:
+    """Data-parallel embedding over a mesh axis (replaces nn.DataParallel in
+    every reference eval loop).  Variables are replicated, the batch is
+    sharded over ``axis``; XLA SPMD partitions the forward.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    base = make_embed_fn(backbone, bce_module)
+
+    def embed(variables, u8, *args):
+        variables = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), variables)
+        u8 = jax.device_put(u8, batch_sh)
+        return base(variables, u8, *args)
+
+    return embed
+
+
 @functools.partial(jax.jit, static_argnames=("flip",))
 def _flip_sum(feats, feats_flip, flip: bool):
     return feats + feats_flip if flip else feats

@@ -106,6 +106,72 @@ def pairwise_roc_histogram_device(feats, labels, target_size: int,
     return hist
 
 
+def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
+                                   tile_i: int = 4096, tile_j: int = 16384,
+                                   axis: str = "data") -> jnp.ndarray:
+    """Multi-device histogram: j-rows sharded over a mesh axis, partial
+    histograms psum'd over ICI.
+
+    Replaces the reference's multiprocess per-GPU fan-out (roc_cuda.py:89-108)
+    with one sharded dispatch: every device scans the (replicated) target
+    block against its own slice of the verification set.
+    """
+    import math
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n, e = np.shape(feats)
+    nd = mesh.shape[axis]
+    tile_i = min(tile_i, n)
+    tile_j = min(tile_j, max(n // nd, 1))
+    step = math.lcm(tile_j * nd, tile_i)
+    npad = ((n + step - 1) // step) * step
+    num_i = (min(target_size, n) + tile_i - 1) // tile_i
+
+    f = jnp.asarray(feats)
+    l = jnp.asarray(labels).astype(jnp.int32)
+    if npad > n:
+        f = jnp.concatenate([f, jnp.zeros((npad - n, e), f.dtype)])
+        l = jnp.concatenate([l, jnp.full(npad - n, -12345, jnp.int32)])
+    gidx = jnp.arange(npad, dtype=jnp.int32)
+    fi = f[: num_i * tile_i]
+    li = l[: num_i * tile_i]
+    gi = gidx[: num_i * tile_i]
+
+    def body(fi, li, gi, fj, lj, gj):
+        num_j = fj.shape[0] // tile_j
+
+        def tile(k, hist):
+            i0 = (k // num_j) * tile_i
+            j0 = (k % num_j) * tile_j
+            fjt = jax.lax.dynamic_slice(fj, (j0, 0), (tile_j, e))
+            ljt = jax.lax.dynamic_slice(lj, (j0,), (tile_j,))
+            gjt = jax.lax.dynamic_slice(gj, (j0,), (tile_j,))
+            fit = jax.lax.dynamic_slice(fi, (i0, 0), (tile_i, e))
+            lit = jax.lax.dynamic_slice(li, (i0,), (tile_i,))
+            git = jax.lax.dynamic_slice(gi, (i0,), (tile_i,))
+            sim = jnp.dot(fit, fjt.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            idx = jnp.clip(((sim + 1.0) * 1000.0).astype(jnp.int32), 0, NUM_BINS - 1)
+            is_pos = lit[:, None] == ljt[None, :]
+            valid = ((git[:, None] < gjt[None, :]) & (git[:, None] < target_size)
+                     & (gjt[None, :] < n))
+            combined = jnp.where(valid, idx * 2 + jnp.where(is_pos, 0, 1),
+                                 2 * NUM_BINS)
+            return hist + jnp.bincount(combined.reshape(-1),
+                                       length=2 * NUM_BINS + 1)[: 2 * NUM_BINS]
+
+        hist = jax.lax.fori_loop(0, num_i * num_j, tile,
+                                 jnp.zeros(2 * NUM_BINS, jnp.int32))
+        return jax.lax.psum(hist, axis)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
+                   out_specs=P(), check_vma=False)
+    return jax.jit(fn)(fi, li, gi, f, l, gidx)
+
+
 def pairwise_roc_histogram(feats: np.ndarray, labels: np.ndarray,
                            target_size: int, tile_i: int = 1024,
                            tile_j: int = 8192) -> np.ndarray:

@@ -138,6 +138,24 @@ def test_pairwise_histogram_matches_bruteforce():
     np.testing.assert_array_equal(hist, brute)
 
 
+def test_sharded_histogram_matches_single_device():
+    """j-rows sharded over 8 virtual devices + psum == single-device result."""
+    from fedfr_tpu.ops.roc_histogram import pairwise_roc_histogram_sharded
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    n, e = 128, 8
+    feats = rng.standard_normal((n, e)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels = rng.integers(0, 6, n).astype(np.int32)
+    tsize = 40
+    mesh = make_mesh((1, 8, 1))
+    sharded = np.asarray(pairwise_roc_histogram_sharded(
+        mesh, feats, labels, tsize, tile_i=8, tile_j=8)).reshape(2001, 2)
+    single = pairwise_roc_histogram(feats, labels, tsize, tile_i=8, tile_j=16)
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_tpr_table_matches_scipy_interp():
     """tpr_at_fpr_table reproduces plot_ROC's interp1d (roc_cuda.py:69-71)."""
     from scipy.interpolate import interp1d

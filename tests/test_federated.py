@@ -186,3 +186,22 @@ def test_hard_negative_mask_threshold():
                              -np.eye(4, dtype=np.float32)])
     mask = hard_negative_mask(feats, public, threshold=0.5, chunk=4)
     np.testing.assert_array_equal(mask, [True] * 4 + [False] * 4)
+
+
+def test_sharded_embed_matches_plain(fl_root):
+    """Data-parallel embedding over the mesh equals the single-device path."""
+    from fedfr_tpu.federated.embed import make_sharded_embed_fn
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg(fl_root)
+    backbone = build_backbone("toy", 32)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, IMG, IMG, 3)), train=False)
+    mesh = make_mesh((1, 8, 1))
+    plain = make_embed_fn(backbone)
+    sharded = make_sharded_embed_fn(backbone, mesh)
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray(rng.integers(0, 255, (16, IMG, IMG, 3), dtype=np.uint8))
+    a = np.asarray(plain(variables, u8))
+    b = np.asarray(sharded(variables, u8))
+    np.testing.assert_allclose(a, b, atol=1e-5)
