@@ -271,6 +271,9 @@ class Server:
         from ..utils.optim import step_lr
 
         client_shard = NamedSharding(mesh, P("client"))
+        # batches additionally split over the data axis inside each client's
+        # slice (replaces per-client nn.DataParallel)
+        batch_shard = NamedSharding(mesh, P("client", "data"))
         repl = NamedSharding(mesh, P())
         models, fcs, sizes, losses = [], [], [], []
         todo = list(self.current_client_list)
@@ -319,9 +322,9 @@ class Server:
                         stacked,
                         global_repl,
                         last_stacked,
-                        jax.device_put(imgs, client_shard),
-                        jax.device_put(labels, client_shard),
-                        jax.device_put(valid, client_shard),
+                        jax.device_put(imgs, batch_shard),
+                        jax.device_put(labels, batch_shard),
+                        jax.device_put(valid, batch_shard),
                         jnp.float32(lr),
                         jax.device_put(keys, client_shard))
                 logger.info("parallel group %s epoch %d/%d done",

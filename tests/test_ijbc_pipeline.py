@@ -1,0 +1,120 @@
+"""End-to-end IJB-C pipeline test on a synthetic miniature benchmark."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from fedfr_tpu.evalsuite.ijbc import run_ijbc  # noqa: E402
+from fedfr_tpu.federated.embed import make_embed_fn  # noqa: E402
+from fedfr_tpu.models import build_backbone  # noqa: E402
+
+
+N_SUBJECTS = 4
+IMGS_PER_SUBJECT = 3
+
+
+@pytest.fixture(scope="module")
+def ijbc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ijbc")
+    meta = root / "meta" / "IJBC_meta"
+    crop = root / "loose_crop"
+    meta.mkdir(parents=True)
+    crop.mkdir()
+
+    rng = np.random.default_rng(0)
+    # canonical-ish landmarks inside a 150x120 face crop
+    base_lmk = np.array([[45, 60], [85, 60], [65, 80], [50, 100], [80, 100]],
+                        np.float32)
+
+    names, tids, mids, lines = [], [], [], []
+    tid = 0
+    img_id = 0
+    gallery, probes = [], []
+    for s in range(N_SUBJECTS):
+        color = rng.integers(40, 255, 3)
+        # gallery template: 1 image / 1 media
+        # probe template: 2 images / 2 medias
+        for t_kind in ("g", "p"):
+            count = 1 if t_kind == "g" else 2
+            for k in range(count):
+                name = f"img_{img_id}.jpg"
+                img = np.zeros((150, 120, 3), np.uint8)
+                img[:] = color
+                noise = rng.integers(0, 30, (150, 120, 3))
+                img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+                cv2.imwrite(str(crop / name), img)
+                lmk = base_lmk + rng.normal(0, 1.0, (5, 2)).astype(np.float32)
+                score = 0.9 + 0.05 * rng.random()
+                lines.append(name + " " + " ".join(
+                    f"{v:.3f}" for v in lmk.reshape(-1)) + f" {score:.4f}")
+                names.append(name)
+                tids.append(tid)
+                mids.append(1000 + img_id if t_kind == "g" else 2000 + k)
+                img_id += 1
+            if t_kind == "g":
+                gallery.append((tid, s))
+            else:
+                probes.append((tid, s))
+            tid += 1
+
+    with open(meta / "ijbc_face_tid_mid.txt", "w") as f:
+        for n, t, m in zip(names, tids, mids):
+            f.write(f"{n} {t} {m}\n")
+    with open(meta / "ijbc_name_5pts_score.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    # 1:1 pairs: each probe template vs every gallery template
+    with open(meta / "ijbc_template_pair_label.txt", "w") as f:
+        for pt, ps in probes:
+            for gt, gs in gallery:
+                f.write(f"{pt} {gt} {int(ps == gs)}\n")
+    # 1:n galleries split across G1/G2, probe_mixed = all probes
+    with open(meta / "ijbc_1N_gallery_G1.csv", "w") as f:
+        f.write("TEMPLATE_ID,SUBJECT_ID\n")
+        for gt, gs in gallery[: N_SUBJECTS // 2]:
+            f.write(f"{gt},{gs}\n")
+    with open(meta / "ijbc_1N_gallery_G2.csv", "w") as f:
+        f.write("TEMPLATE_ID,SUBJECT_ID\n")
+        for gt, gs in gallery[N_SUBJECTS // 2:]:
+            f.write(f"{gt},{gs}\n")
+    with open(meta / "ijbc_1N_probe_mixed.csv", "w") as f:
+        f.write("TEMPLATE_ID,SUBJECT_ID\n")
+        for pt, ps in probes:
+            f.write(f"{pt},{ps}\n")
+    return str(root)
+
+
+def test_run_ijbc_both_jobs(ijbc_root, tmp_path):
+    backbone = build_backbone("toy", 32)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 112, 112, 3)), train=False)
+    embed_fn = make_embed_fn(backbone)
+    results = run_ijbc(embed_fn, variables, ijbc_root, str(tmp_path),
+                       epoch=3, job="both", batch_size=4)
+    assert len(results["tpr_at_fpr"]) == 6
+    assert set(results["rank"]) == {"top1", "top5", "top10"}
+    assert set(results["tpir_at_fpir"]) == {0.01, 0.1}
+    # subjects are solid colors -> toy embeddings separate them perfectly
+    assert results["rank"]["top1"] == 1.0
+    # logs + score dump in the reference layout
+    assert os.path.exists(os.path.join(str(tmp_path), "ijbc-1:1", "log.txt"))
+    assert os.path.exists(os.path.join(str(tmp_path), "ijbc-1:1", "ijbc.npy"))
+    log = open(os.path.join(str(tmp_path), "ijbc-1:n", "log.txt")).read()
+    assert "Epoch 3" in log and "top1" in log
+    # aligned-image cache written (IJBC_imgs.npy equivalent)
+    assert os.path.exists(os.path.join(ijbc_root, "IJBC_imgs.npy"))
+
+
+def test_run_ijbc_uses_cache_second_time(ijbc_root, tmp_path):
+    backbone = build_backbone("toy", 32)
+    variables = backbone.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 112, 112, 3)), train=False)
+    embed_fn = make_embed_fn(backbone)
+    results = run_ijbc(embed_fn, variables, ijbc_root, str(tmp_path),
+                       epoch=0, job="1:1", batch_size=4)
+    assert len(results["tpr_at_fpr"]) == 6
