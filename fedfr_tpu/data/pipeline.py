@@ -12,11 +12,10 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class DevicePrefetcher:

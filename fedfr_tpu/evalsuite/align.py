@@ -8,8 +8,6 @@ with the +8px x-shift the reference applies (ijbc_all.py:55-62).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 ARCFACE_SRC = np.array(

@@ -20,7 +20,6 @@ from ..data.datasets import BatchLoader, CombinedDataset, FaceRecordDataset
 from ..data.pipeline import DevicePrefetcher
 from ..utils.optim import step_lr
 from .embed import class_mean_features, embed_dataset, hard_negative_mask, make_embed_fn
-from .state import ClientTrainState
 from .trainer import init_client_state, make_branch_train_step, make_plain_train_step
 
 logger = logging.getLogger("fedfr_tpu.client")

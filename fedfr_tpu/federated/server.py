@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -236,8 +236,6 @@ class Server:
         longest simply wrap around their shuffled loader — a documented
         deviation from strict per-client epoch boundaries.
         """
-        import itertools
-
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel.client_parallel import (

@@ -16,8 +16,7 @@ batch_stats updated functionally in the same step.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,7 @@ import jax.numpy as jnp
 from ..models.heads import cosine_logits
 from ..ops.losses import bce_loss, moon_contrastive, softmax_cross_entropy
 from ..ops.margins import MARGINS, reweight_negatives
-from ..utils.optim import SGDState, sgd_init, sgd_update
+from ..utils.optim import sgd_init, sgd_update
 from .state import ClientTrainState, train_preprocess
 
 

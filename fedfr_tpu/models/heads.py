@@ -17,7 +17,7 @@ Functional re-design of the reference head modules (client.py:25-113):
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ the final Dense + BN1d in fp32, mirroring the reference autocast boundary
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

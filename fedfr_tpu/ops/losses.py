@@ -7,7 +7,7 @@ loss = softmax-CE(margin logits) + 10 * BCE + mu * contrastive
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ shards the i-tiles over the mesh.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

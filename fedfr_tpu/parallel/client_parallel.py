@@ -10,7 +10,7 @@ same axis (a psum over ICI once the stacked tree is sharded).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
