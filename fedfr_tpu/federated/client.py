@@ -200,23 +200,32 @@ class Client:
             raise ValueError(
                 f"client {self.cid}: combined dataset ({len(combined)} imgs) "
                 f"smaller than the batch size {cfg.data.combined_batch_size}")
+        import time
+
         key = jax.random.PRNGKey(cfg.runtime.seed + 31 * round_seed + self.cid)
         loss_sum = np.zeros(4)
         n_steps = 0
         for epoch in range(local_epochs):
             lr = step_lr(cfg.optim.lr, epoch, train_decay, cfg.optim.lr_gamma)
+            tic = time.time()
+            epoch_steps = 0
             for imgs, labels, valid in loader.epoch():
                 key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, global_vars, last_vars,
                                          imgs, labels, valid, lr, sub)
                 n_steps += 1
-            # pull metrics once per epoch (avoid per-step device sync)
+                epoch_steps += 1
+            # pull metrics once per epoch (avoid per-step device sync; this
+            # device_get is also the epoch's completion barrier for timing)
             m = jax.device_get(metrics)
+            speed = (epoch_steps * cfg.data.combined_batch_size
+                     / max(time.time() - tic, 1e-9))
             loss_sum += np.array([m.loss, m.cos_loss, m.bce_loss, m.con_loss])
-            logger.info("client %d epoch %d/%d lr %.5f loss %.3f (cos %.3f bce %.3f con %.3f)",
+            logger.info("client %d epoch %d/%d lr %.5f loss %.3f "
+                        "(cos %.3f bce %.3f con %.3f) %.1f samples/sec",
                         self.cid, epoch + 1, local_epochs, lr,
                         float(m.loss), float(m.cos_loss), float(m.bce_loss),
-                        float(m.con_loss))
+                        float(m.con_loss), speed)
 
         self.finalize_local_run(state, loss_sum[0] / max(local_epochs, 1))
         return {"loss": self.last_loss, "steps": n_steps,

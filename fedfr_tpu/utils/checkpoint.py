@@ -64,6 +64,21 @@ def load_native(path: str) -> Any:
     return _unflatten(flat)
 
 
+def save_orbax(tree: Any, path: str) -> None:
+    """Orbax-backed checkpoint (optional alternative to the npz format)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_orbax(path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
 class RoundCheckpointer:
     """Round-granular save/resume of a whole federated run."""
 

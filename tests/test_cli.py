@@ -191,3 +191,15 @@ def test_local_all_cli(pipeline_root, tmp_path):
     res, fars = open_set_identification(feats.copy(), cg, mask, fars=[0.1, 0.5],
                                         recall_denominator=TEST_IMGS * ids_per_client)
     assert len(res) == 2
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from fedfr_tpu.utils.checkpoint import load_orbax, save_orbax
+
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": {"c": np.ones(4, np.int32)}}
+    path = str(tmp_path / "ckpt")
+    save_orbax(tree, path)
+    back = load_orbax(path)
+    np.testing.assert_array_equal(back["a"], tree["a"])
+    np.testing.assert_array_equal(back["b"]["c"], tree["b"]["c"])
