@@ -147,15 +147,25 @@ def main(args):
         logger.info("client-parallel training over %d devices",
                     mesh.shape["client"])
 
+    from fedfr_tpu.utils.profiling import SpanTimer, xla_trace
+
+    trace_dir = None
+    if args.profile:
+        trace_dir = os.path.join(cfg.runtime.output_dir, "xla_trace")
+        logger.info("profiling first round to %s", trace_dir)
+    timer = SpanTimer()
     logger.info("=== Start Federated learning ===")
     while server.global_round < cfg.fed.total_rounds:
         server.current_client_list = server.sample_clients()
         logger.info("====== Round %d ======", server.global_round)
-        if mesh is not None and cfg.fed.add_pretrained_data:
-            server.train_round_parallel(mesh)
-        else:
-            server.train_round()
-        server.test()
+        with xla_trace(trace_dir if server.global_round == 0 else None):
+            with timer.span("train_round"):
+                if mesh is not None and cfg.fed.add_pretrained_data:
+                    server.train_round_parallel(mesh)
+                else:
+                    server.train_round()
+        with timer.span("eval"):
+            server.test()
         try:
             server.save_round_checkpoint(cfg.runtime.output_dir)
         except NotImplementedError:
@@ -165,6 +175,7 @@ def main(args):
         server.save_client_checkpoints(cfg.runtime.output_dir)
         server.advance_round()
         ckpt.save(server)
+    timer.report(logger)
     logger.info("training done")
 
 
@@ -206,4 +217,6 @@ if __name__ == "__main__":
     parser.add_argument("--image_size", default=112, type=int)
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest round checkpoint")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture an XLA trace of the first round")
     main(parser.parse_args())
