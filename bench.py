@@ -72,4 +72,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # transient tunnel/compile hiccups: one retry
+        import traceback
+
+        traceback.print_exc()
+        main()

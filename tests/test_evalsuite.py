@@ -335,3 +335,37 @@ def test_ascii_table_format():
     lines = out.splitlines()
     assert lines[0].startswith("+") and "|" in lines[1]
     assert len(set(len(l) for l in lines)) == 1
+
+
+def test_bin_embedding_window_semantics():
+    """test_bin's final partial batch slides a full-size window ending at N
+    (reference verification.py:245-258) — verify rows land correctly."""
+    import jax.numpy as jnp
+
+    from fedfr_tpu.evalsuite.verification import test_bin
+
+    rng = np.random.default_rng(12)
+    n = 20  # batch 8 -> batches [0:8], [8:16], [12:20] window
+    data = rng.integers(0, 255, (n, 8, 8, 3)).astype(np.uint8)
+    issame = rng.random(n // 2) > 0.5
+
+    def embed_fn(variables, u8):
+        # deterministic "embedding": mean pixel per channel + row checksum
+        x = u8.astype(jnp.float32)
+        return jnp.stack([x.mean(axis=(1, 2, 3)),
+                          x[:, 0, 0, 0], x[:, -1, -1, -1],
+                          x.sum(axis=(1, 2, 3)) % 97], axis=1)
+
+    acc, std, xnorm, emb, _ = test_bin(embed_fn, None, data, issame,
+                                       batch_size=8, nfolds=2)
+    # recompute embeddings directly and compare the flip-sum l2-normalized rows
+    direct = np.stack([data.astype(np.float64).mean(axis=(1, 2, 3)),
+                       data[:, 0, 0, 0], data[:, -1, -1, -1],
+                       data.sum(axis=(1, 2, 3)) % 97], axis=1)
+    flipped = data[:, :, ::-1, :]
+    direct_f = np.stack([flipped.astype(np.float64).mean(axis=(1, 2, 3)),
+                         flipped[:, 0, 0, 0], flipped[:, -1, -1, -1],
+                         flipped.sum(axis=(1, 2, 3)) % 97], axis=1)
+    s = direct + direct_f
+    s = s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(emb, s, rtol=1e-5)
