@@ -91,7 +91,8 @@ class Client:
         """Feature-based mining (client.py:191-224): embed the local set with
         the current backbone, keep public images with cos-sim > threshold."""
         local_feats, _ = embed_dataset(self._embed_fn, backbone_vars, self.dataset,
-                                       self.cfg.data.eval_batch_size, l2norm=True)
+                                       self.cfg.data.eval_batch_size, l2norm=True,
+                                       return_device=True)
         mask = hard_negative_mask(local_feats, public_feats,
                                   self.cfg.fed.hn_threshold)
         imgidx = np.nonzero(mask)[0] + 1  # record keys are 1-based

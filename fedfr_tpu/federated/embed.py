@@ -66,24 +66,31 @@ def _flip_sum(feats, feats_flip, flip: bool):
     return feats + feats_flip if flip else feats
 
 
+@jax.jit
+def _l2norm_rows(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
 def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
                   flip_test: bool = False, l2norm: bool = True,
-                  bce_params=None, progress: Optional[Callable] = None
-                  ) -> Tuple[np.ndarray, np.ndarray]:
+                  bce_params=None, progress: Optional[Callable] = None,
+                  return_device: bool = False):
     """Embed every active item of a record dataset -> (N, E) feats, (N,) labels.
 
     Deterministic order (dataset order, no shuffle).  ``flip_test`` sums the
     embeddings of the image and its horizontal mirror (reference
-    local_all.py:209-215).
+    local_all.py:209-215).  With ``return_device=True`` the features stay on
+    device (one concatenate, no per-batch device->host sync) — used by mining
+    and the ROC pipeline, whose consumers are device kernels anyway.
     """
     n = len(dataset)
-    feats_out = None
-    labels_out = np.empty(n, dtype=np.int64)
     args = (bce_params,) if bce_params is not None else ()
 
     from ..data.datasets import BatchLoader
 
     loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    chunks = []
+    labels_out = np.empty(n, dtype=np.int64)
     pos = 0
     for imgs, labels, valid in loader.epoch():
         nvalid = int(valid.sum())
@@ -91,18 +98,17 @@ def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
         f = embed_fn(variables, u8, *args)
         if flip_test:
             f = f + embed_fn(variables, u8[:, :, ::-1, :], *args)
-        f = np.asarray(f)[:nvalid]
-        if feats_out is None:
-            feats_out = np.empty((n, f.shape[1]), dtype=np.float32)
-        feats_out[pos:pos + nvalid] = f
+        chunks.append(f[:nvalid])
         labels_out[pos:pos + nvalid] = labels[:nvalid]
         pos += nvalid
         if progress is not None:
             progress(pos, n)
+    feats = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
     if l2norm:
-        norms = np.linalg.norm(feats_out, axis=1, keepdims=True)
-        feats_out = feats_out / np.maximum(norms, 1e-12)
-    return feats_out, labels_out
+        feats = _l2norm_rows(feats)
+    if return_device:
+        return feats, labels_out
+    return np.asarray(feats), labels_out
 
 
 def class_mean_features(feats: np.ndarray, labels: np.ndarray,

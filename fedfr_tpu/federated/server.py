@@ -145,12 +145,14 @@ class Server:
 
     # ------------------------------------------------------------ rounds
 
-    def generate_public_features(self) -> np.ndarray:
+    def generate_public_features(self):
         """Per-round embed of the whole public set for HN mining
-        (server.py:242-263)."""
+        (server.py:242-263).  Features stay resident on device — every
+        client's mining kernel reads them without re-upload."""
         feats, _ = embed_dataset(self._embed_fn, self.federated_vars,
                                  self.data.public_dataset,
-                                 self.cfg.data.public_batch_size, l2norm=True)
+                                 self.cfg.data.public_batch_size, l2norm=True,
+                                 return_device=True)
         return feats
 
     def sample_clients(self) -> List[int]:
