@@ -191,6 +191,11 @@ class Server:
             client = self.clients[cid]
             logger.info("round %d [%d/%d] client %d training", self.global_round,
                         pos + 1, len(self.current_client_list), cid)
+            if (self.local_eval_callback is not None and self.global_round == 0
+                    and cid in self.local_candidates):
+                # pretrain baseline entry, epoch -1 (client.py:331-333)
+                self.local_eval_callback(self, client, epoch=-1,
+                                         variables=self.federated_vars)
             if cfg.fed.add_pretrained_data:
                 stats = client.train_with_public_data(
                     self.federated_vars, self.data.public_dataset,
@@ -277,6 +282,11 @@ class Server:
         repl = NamedSharding(mesh, P())
         models, fcs, sizes, losses = [], [], [], []
         todo = list(self.current_client_list)
+        if self.local_eval_callback is not None and self.global_round == 0:
+            for cid in todo:
+                if cid in self.local_candidates:
+                    self.local_eval_callback(self, self.clients[cid], epoch=-1,
+                                             variables=self.federated_vars)
         for g0 in range(0, len(todo), K):
             group = todo[g0:g0 + K]
             pad = K - len(group)

@@ -1,5 +1,6 @@
 """Evaluation-suite tests: k-fold protocol, ROC histogram, IJB-C math."""
 
+import os
 import pickle
 
 import numpy as np
@@ -369,3 +370,20 @@ def test_bin_embedding_window_semantics():
     s = direct + direct_f
     s = s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-12)
     np.testing.assert_allclose(emb, s, rtol=1e-5)
+
+
+def test_parse_log_roundtrip(tmp_path):
+    """parse_log consumes the local_log.txt lines append_local_log writes."""
+    import parse_log
+
+    from fedfr_tpu.evalsuite.local_eval import append_local_log
+
+    d = str(tmp_path)
+    append_local_log(d, 0, 100, -1, [80.0, 70.0, 60.0, 50.0, 40.0, 30.0])
+    append_local_log(d, 0, 100, 9, [95.0, 90.0, 85.0, 80.0, 75.0, 70.0])
+    append_local_log(d, 100, 200, -1, [81.0, 71.0, 61.0, 51.0, 41.0, 31.0])
+    append_local_log(d, 100, 200, 9, [96.0, 91.0, 86.0, 81.0, 76.0, 71.0])
+    acc = parse_log.parse(os.path.join(d, "local_log.txt"))
+    assert set(acc) == {0, 100}
+    assert acc[0][0] == (-1, [80.0, 70.0, 60.0, 50.0, 40.0, 30.0])
+    parse_log.main(os.path.join(d, "local_log.txt"))  # prints summary

@@ -118,13 +118,21 @@ def main(args):
             logger.info("Save server model, round %d", server.global_round)
         return {"acc": accs}
 
-    def local_eval_callback(server, client):
-        if local_cb is None or client.trained_backbone is None:
+    def local_eval_callback(server, client, epoch=None, variables=None):
+        if local_cb is None:
             return
+        if variables is None:
+            variables = client.trained_backbone
+        if variables is None:
+            return
+        if epoch is None:
+            # last local-epoch index, matching the reference's log numbering
+            # (client.py:483 passes the loop-final epoch)
+            epoch = server.global_epoch + server.local_epoch - 1
         bce_params = (client.bce_vars["params"] if client.bce_vars is not None
-                      else None)
-        local_cb.veri_test(client.trained_backbone, server.global_round,
-                           client.target_ids, client.cid, bce_params)
+                      and epoch != -1 else None)
+        local_cb.veri_test(variables, epoch, client.target_ids, client.cid,
+                           bce_params)
 
     server = Server(cfg, data, eval_callback=eval_callback,
                     local_eval_callback=local_eval_callback)
