@@ -30,7 +30,7 @@ def main():
     from fedfr_tpu.federated.state import normalize_images
 
     batch = 2048  # large batches keep the small-spatial stages MXU-bound
-    backbone = build_backbone("sphnet", 512, bf16=True)
+    backbone = build_backbone("sphnet", 512, bf16=True, scan_blocks=True)
     variables = backbone.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 112, 112, 3)), train=False)
 

@@ -30,13 +30,15 @@ class ToyNet(nn.Module):
 
 
 def build_backbone(name: str, embedding_size: int = 512, dropout: float = 0.0,
-                   bf16: bool = True) -> nn.Module:
+                   bf16: bool = True, scan_blocks: bool = False) -> nn.Module:
     if name == "toy":
         return ToyNet(embedding_size=embedding_size)
     if name == "sphnet":
-        return SphNet(depth=64, embedding_size=embedding_size, bf16=bf16)
+        return SphNet(depth=64, embedding_size=embedding_size, bf16=bf16,
+                      scan_blocks=scan_blocks)
     if name == "sphnet20":
-        return SphNet(depth=20, embedding_size=embedding_size, bf16=bf16)
+        return SphNet(depth=20, embedding_size=embedding_size, bf16=bf16,
+                      scan_blocks=scan_blocks)
     if name.startswith("iresnet"):
         depth = int(name[len("iresnet"):])
         return IResNet(depth=depth, embedding_size=embedding_size,

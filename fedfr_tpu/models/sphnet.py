@@ -38,12 +38,30 @@ class SphereBlock(nn.Module):
         return x + y
 
 
+class _ScanSphereBlock(nn.Module):
+    """SphereBlock with a (carry, _) -> (carry, None) signature for nn.scan."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, _):
+        return SphereBlock(self.features, dtype=self.dtype, name="block")(x), None
+
+
 class SphNet(nn.Module):
-    """sphere20/64 embedding backbone -> (B, embedding_size) float32."""
+    """sphere20/64 embedding backbone -> (B, embedding_size) float32.
+
+    ``scan_blocks=True`` rolls each stage's identical residual blocks into one
+    ``nn.scan`` (params stacked on a leading axis): the traced program shrinks
+    ~5x, cutting XLA compile time accordingly.  Numerics are identical; the
+    checkpoint layout differs (see utils/torch_interop.sphnet_scan_params).
+    """
 
     depth: int = 64
     embedding_size: int = 512
     bf16: bool = True
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -64,8 +82,17 @@ class SphNet(nn.Module):
                         bias_init=nn.initializers.zeros,
                         name=f"layer{stage}_conv")(x)
             x = PReLU(feats, dtype=dtype, name=f"layer{stage}_prelu")(x)
-            for b in range(blocks):
-                x = SphereBlock(feats, dtype=dtype, name=f"layer{stage}_block{b}")(x)
+            if self.scan_blocks:
+                scan = nn.scan(_ScanSphereBlock,
+                               variable_axes={"params": 0},
+                               split_rngs={"params": True},
+                               length=blocks)
+                x, _ = scan(feats, dtype=dtype,
+                            name=f"layer{stage}_blocks")(x, None)
+            else:
+                for b in range(blocks):
+                    x = SphereBlock(feats, dtype=dtype,
+                                    name=f"layer{stage}_block{b}")(x)
 
         # (B, 7, 7, 512) -> flatten; embedding projection in fp32
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)

@@ -111,6 +111,37 @@ def sphnet_to_torch(variables: Dict[str, Any], depth: int = 64) -> Dict[str, Any
     return sd
 
 
+def sphnet_scan_params(params: Dict[str, Any], depth: int = 64) -> Dict[str, Any]:
+    """Unrolled sphnet params -> scan_blocks layout (blocks stacked axis 0)."""
+    out: Dict[str, Any] = {}
+    for stage, blocks in enumerate(_SPH_LAYERS[depth], start=1):
+        out[f"layer{stage}_conv"] = params[f"layer{stage}_conv"]
+        out[f"layer{stage}_prelu"] = params[f"layer{stage}_prelu"]
+        stacked: Dict[str, Any] = {}
+        for sub in ("conv1", "prelu1", "conv2", "prelu2"):
+            leaves = [params[f"layer{stage}_block{b}"][sub] for b in range(blocks)]
+            stacked[sub] = {k: np.stack([np.asarray(l[k]) for l in leaves])
+                            for k in leaves[0]}
+        out[f"layer{stage}_blocks"] = {"block": stacked}
+    out["fc"] = params["fc"]
+    return out
+
+
+def sphnet_unscan_params(params: Dict[str, Any], depth: int = 64) -> Dict[str, Any]:
+    """scan_blocks layout -> unrolled sphnet params."""
+    out: Dict[str, Any] = {}
+    for stage, blocks in enumerate(_SPH_LAYERS[depth], start=1):
+        out[f"layer{stage}_conv"] = params[f"layer{stage}_conv"]
+        out[f"layer{stage}_prelu"] = params[f"layer{stage}_prelu"]
+        stacked = params[f"layer{stage}_blocks"]["block"]
+        for b in range(blocks):
+            out[f"layer{stage}_block{b}"] = {
+                sub: {k: np.asarray(v)[b] for k, v in stacked[sub].items()}
+                for sub in ("conv1", "prelu1", "conv2", "prelu2")}
+    out["fc"] = params["fc"]
+    return out
+
+
 # ---------------------------------------------------------------- iresnet
 
 _IRES_LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 14, 3),

@@ -151,3 +151,27 @@ def test_cosine_fc_parity_with_reference():
         tout = tmod(torch.from_numpy(x)).numpy()
     jout = cosine_logits(jnp.asarray(x), jnp.asarray(weight))
     np.testing.assert_allclose(np.asarray(jout), tout, atol=1e-5, rtol=1e-5)
+
+
+def test_sphnet_scan_blocks_matches_unrolled():
+    """nn.scan'd sphere blocks produce identical outputs to the unrolled net."""
+    from fedfr_tpu.utils.torch_interop import sphnet_scan_params, sphnet_unscan_params
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 112, 112, 3)).astype(np.float32))
+    unrolled = SphNet(depth=20, bf16=False)
+    variables = unrolled.init(jax.random.PRNGKey(0), x, train=False)
+    out_a = unrolled.apply(variables, x, train=False)
+
+    scanned = SphNet(depth=20, bf16=False, scan_blocks=True)
+    scan_vars = {"params": sphnet_scan_params(
+        jax.device_get(variables["params"]), depth=20)}
+    out_b = scanned.apply(scan_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+    # structure roundtrip
+    back = sphnet_unscan_params(scan_vars["params"], depth=20)
+    for k, v in jax.device_get(variables["params"]).items():
+        for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(v),
+                                  jax.tree_util.tree_leaves(back[k])):
+            np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
