@@ -42,5 +42,5 @@ def build_backbone(name: str, embedding_size: int = 512, dropout: float = 0.0,
     if name.startswith("iresnet"):
         depth = int(name[len("iresnet"):])
         return IResNet(depth=depth, embedding_size=embedding_size,
-                       dropout=dropout, bf16=bf16)
+                       dropout=dropout, bf16=bf16, scan_blocks=scan_blocks)
     raise ValueError(f"unknown backbone '{name}'")

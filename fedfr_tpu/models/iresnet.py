@@ -58,14 +58,37 @@ class IBasicBlock(nn.Module):
         return y + identity
 
 
+class _ScanIBasicBlock(nn.Module):
+    """IBasicBlock with a scan-compatible (carry, _) signature."""
+
+    features: int
+    dtype: Any = jnp.float32
+    freeze_bn: bool = False
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x, _):
+        y = IBasicBlock(self.features, stride=1, downsample=False,
+                        dtype=self.dtype, freeze_bn=self.freeze_bn,
+                        name="block")(x, train=self.train)
+        return y, None
+
+
 class IResNet(nn.Module):
-    """iresnet{18..200} embedding backbone -> (B, embedding_size) float32."""
+    """iresnet{18..200} embedding backbone -> (B, embedding_size) float32.
+
+    ``scan_blocks=True`` rolls each stage's identical stride-1 blocks
+    (everything after the stage's strided head block) into one ``nn.scan``
+    with params/batch_stats stacked on a leading axis — iresnet200 traces 4
+    head blocks + 4 scans instead of 98 blocks.
+    """
 
     depth: int = 18
     embedding_size: int = 512
     dropout: float = 0.0
     bf16: bool = True
     freeze_bn: bool = False  # BN in eval mode during training (iresnet.py:140)
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,6 +103,20 @@ class IResNet(nn.Module):
 
         inplanes = 64
         for stage, (blocks, feats) in enumerate(zip(layers, (64, 128, 256, 512)), start=1):
+            if self.scan_blocks:
+                x = IBasicBlock(feats, stride=2, downsample=True, dtype=dtype,
+                                freeze_bn=self.freeze_bn,
+                                name=f"layer{stage}_block0")(x, train=train)
+                if blocks > 1:
+                    scan = nn.scan(_ScanIBasicBlock,
+                                   variable_axes={"params": 0, "batch_stats": 0},
+                                   split_rngs={"params": True},
+                                   length=blocks - 1)
+                    x, _ = scan(feats, dtype=dtype, freeze_bn=self.freeze_bn,
+                                train=train,
+                                name=f"layer{stage}_blocks")(x, None)
+                inplanes = feats
+                continue
             for b in range(blocks):
                 stride = 2 if b == 0 else 1
                 need_ds = stride != 1 or inplanes != feats

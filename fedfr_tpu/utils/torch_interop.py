@@ -201,6 +201,56 @@ def backbone_from_torch(name: str, sd: Dict[str, Any]) -> Dict[str, Any]:
     raise ValueError(f"unknown backbone '{name}'")
 
 
+def _stack_subtrees(subtrees):
+    """List of identical pytrees (nested dicts of arrays) -> stacked tree."""
+    first = subtrees[0]
+    if isinstance(first, dict):
+        return {k: _stack_subtrees([t[k] for t in subtrees]) for k in first}
+    return np.stack([np.asarray(t) for t in subtrees])
+
+
+def _unstack_subtree(tree, idx):
+    if isinstance(tree, dict):
+        return {k: _unstack_subtree(v, idx) for k, v in tree.items()}
+    return np.asarray(tree)[idx]
+
+
+def iresnet_scan_variables(variables: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    """Unrolled iresnet variables -> scan_blocks layout (per-stage stacks)."""
+    out = {}
+    for coll in variables:
+        src = variables[coll]
+        dst: Dict[str, Any] = {}
+        for key in src:
+            import re
+
+            m = re.match(r"layer(\d)_block(\d+)$", key)
+            if not m:
+                dst[key] = src[key]
+        for stage, blocks in enumerate(_IRES_LAYERS[depth], start=1):
+            dst[f"layer{stage}_block0"] = src[f"layer{stage}_block0"]
+            if blocks > 1:
+                rest = [src[f"layer{stage}_block{b}"] for b in range(1, blocks)]
+                dst[f"layer{stage}_blocks"] = {"block": _stack_subtrees(rest)}
+        out[coll] = dst
+    return out
+
+
+def iresnet_unscan_variables(variables: Dict[str, Any], depth: int) -> Dict[str, Any]:
+    out = {}
+    for coll in variables:
+        src = variables[coll]
+        dst: Dict[str, Any] = {k: v for k, v in src.items()
+                               if not k.endswith("_blocks")}
+        for stage, blocks in enumerate(_IRES_LAYERS[depth], start=1):
+            if blocks > 1:
+                stacked = src[f"layer{stage}_blocks"]["block"]
+                for b in range(1, blocks):
+                    dst[f"layer{stage}_block{b}"] = _unstack_subtree(stacked, b - 1)
+        out[coll] = dst
+    return out
+
+
 def iresnet_to_torch(variables: Dict[str, Any], depth: int) -> Dict[str, Any]:
     import torch
 

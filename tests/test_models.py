@@ -175,3 +175,34 @@ def test_sphnet_scan_blocks_matches_unrolled():
         for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(v),
                                   jax.tree_util.tree_leaves(back[k])):
             np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+
+
+def test_iresnet_scan_blocks_matches_unrolled():
+    from fedfr_tpu.utils.torch_interop import (
+        iresnet_scan_variables, iresnet_unscan_variables)
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 112, 112, 3)).astype(np.float32))
+    unrolled = IResNet(depth=18, bf16=False)
+    variables = jax.device_get(unrolled.init(jax.random.PRNGKey(0), x, train=False))
+    out_a = unrolled.apply(variables, x, train=False)
+
+    scanned = IResNet(depth=18, bf16=False, scan_blocks=True)
+    scan_vars = iresnet_scan_variables(variables, depth=18)
+    out_b = scanned.apply(scan_vars, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+
+    # train-mode batch_stats update works under scan
+    out_c, mutated = scanned.apply(scan_vars, x, train=True,
+                                   mutable=["batch_stats"])
+    assert out_c.shape == (2, 512)
+    back = iresnet_unscan_variables(
+        {"batch_stats": mutated["batch_stats"]}, depth=18)["batch_stats"]
+    assert "layer1_block1" in back
+
+    # structure roundtrip
+    rt = iresnet_unscan_variables(scan_vars, depth=18)
+    for coll in variables:
+        for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(variables[coll]),
+                                  jax.tree_util.tree_leaves(rt[coll])):
+            np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
