@@ -52,6 +52,7 @@ class ModelConfig:
     bf16: bool = True                   # conv trunk in bfloat16, head fp32
                                         # (mirrors reference fp16 autocast, iresnet.py:158-172)
     converter_layers: int = 1           # BCE transformation layer: 1=linear, else BottleBlock
+    scan_blocks: bool = False           # nn.scan repeated blocks (faster compile)
 
 
 @dataclass

@@ -40,7 +40,8 @@ class Server:
         self.rng = np.random.default_rng(cfg.runtime.seed)
 
         self.backbone = build_backbone(cfg.model.network, cfg.model.embedding_size,
-                                       cfg.model.dropout, cfg.model.bf16)
+                                       cfg.model.dropout, cfg.model.bf16,
+                                       scan_blocks=cfg.model.scan_blocks)
         self.bce_module = BCEModule(cfg.model.embedding_size,
                                     data.train_class_sizes[0],
                                     cfg.model.converter_layers,
@@ -54,7 +55,7 @@ class Server:
         if bb_path and os.path.exists(bb_path):
             sd = torch_interop.load_pth(bb_path)
             self.federated_vars = torch_interop.backbone_from_torch(
-                cfg.model.network, sd)
+                cfg.model.network, sd, scan_blocks=cfg.model.scan_blocks)
             logger.info("loaded pretrained backbone from %s", bb_path)
         else:
             key = jax.random.PRNGKey(cfg.runtime.seed)

@@ -192,12 +192,20 @@ def iresnet_from_torch(sd: Dict[str, Any], depth: int) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
-def backbone_from_torch(name: str, sd: Dict[str, Any]) -> Dict[str, Any]:
+def backbone_from_torch(name: str, sd: Dict[str, Any],
+                        scan_blocks: bool = False) -> Dict[str, Any]:
     if name.startswith("sphnet"):
         depth = 20 if name == "sphnet20" else 64
-        return sphnet_from_torch(sd, depth)
+        v = sphnet_from_torch(sd, depth)
+        if scan_blocks:
+            v = {"params": sphnet_scan_params(v["params"], depth)}
+        return v
     if name.startswith("iresnet"):
-        return iresnet_from_torch(sd, int(name[len("iresnet"):]))
+        depth = int(name[len("iresnet"):])
+        v = iresnet_from_torch(sd, depth)
+        if scan_blocks:
+            v = iresnet_scan_variables(v, depth)
+        return v
     raise ValueError(f"unknown backbone '{name}'")
 
 
@@ -304,9 +312,16 @@ def iresnet_to_torch(variables: Dict[str, Any], depth: int) -> Dict[str, Any]:
 def backbone_to_torch(name: str, variables: Dict[str, Any]) -> Dict[str, Any]:
     if name.startswith("sphnet"):
         depth = 20 if name == "sphnet20" else 64
+        if "params" in variables and any(k.endswith("_blocks")
+                                         for k in variables["params"]):
+            variables = {"params": sphnet_unscan_params(variables["params"], depth)}
         return sphnet_to_torch(variables, depth)
     if name.startswith("iresnet"):
-        return iresnet_to_torch(variables, int(name[len("iresnet"):]))
+        depth = int(name[len("iresnet"):])
+        if "params" in variables and any(k.endswith("_blocks")
+                                         for k in variables["params"]):
+            variables = iresnet_unscan_variables(variables, depth)
+        return iresnet_to_torch(variables, depth)
     raise NotImplementedError(f"to_torch for '{name}' not implemented yet")
 
 

@@ -114,7 +114,7 @@ def _train_args(pipeline_root, tmp, total_round=1, resume=False):
         rec_root=out, val_root=os.path.join(pipeline_root, "val"),
         local_rec=os.path.join(out, f"local_veri_{NUM_IDS}"),
         val_targets="agedb_30", num_workers=2, seed=100,
-        embedding_size=16, image_size=IMG, resume=resume, profile=False,
+        embedding_size=16, image_size=IMG, resume=resume, profile=False, scan_blocks=False,
         com_batch_size=8, public_batch_size=16, eval_batch_size=16)
 
 

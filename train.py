@@ -50,6 +50,7 @@ def build_config(args) -> "FedFRConfig":
     cfg.runtime.pretrained_root = args.pretrained_root
     cfg.runtime.seed = args.seed
     cfg.model.embedding_size = args.embedding_size
+    cfg.model.scan_blocks = args.scan_blocks
     cfg.data.image_size = args.image_size
     if args.val_targets:
         cfg.runtime.val_targets = args.val_targets.split(",")
@@ -81,7 +82,8 @@ def main(args):
         from fedfr_tpu.models import build_backbone
 
         backbone = build_backbone(cfg.model.network, cfg.model.embedding_size,
-                                  cfg.model.dropout, cfg.model.bf16)
+                                  cfg.model.dropout, cfg.model.bf16,
+                                  scan_blocks=cfg.model.scan_blocks)
         embed_fn = make_embed_fn(backbone)
         bin_cb = BinVerificationCallback(
             embed_fn, cfg.runtime.val_targets, cfg.data.val_root, logger=logger,
@@ -94,7 +96,8 @@ def main(args):
 
         local_veri = FaceRecordDataset(cfg.data.local_veri_dir, prefix="test")
         bb = _bb(cfg.model.network, cfg.model.embedding_size,
-                 cfg.model.dropout, cfg.model.bf16)
+                 cfg.model.dropout, cfg.model.bf16,
+                 scan_blocks=cfg.model.scan_blocks)
         bce = BCEModule(cfg.model.embedding_size, data.train_class_sizes[0],
                         cfg.model.converter_layers)
         local_cb = LocalVerificationCallback(
@@ -227,4 +230,6 @@ if __name__ == "__main__":
                         help="resume from the latest round checkpoint")
     parser.add_argument("--profile", action="store_true",
                         help="capture an XLA trace of the first round")
+    parser.add_argument("--scan_blocks", action="store_true",
+                        help="nn.scan repeated backbone blocks (faster compile)")
     main(parser.parse_args())
