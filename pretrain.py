@@ -47,7 +47,8 @@ def main(args):
     labels_all = dataset.all_labels()
     logger.info("public set: %d imgs / %d ids", len(dataset), num_classes)
 
-    backbone = build_backbone(args.network, args.embedding_size, bf16=not args.fp32)
+    backbone = build_backbone(args.network, args.embedding_size,
+                              bf16=not args.fp32, scan_blocks=args.scan_blocks)
     key = jax.random.PRNGKey(args.seed)
     variables = backbone.init(key, jnp.zeros((1, args.image_size, args.image_size, 3)),
                               train=False)
@@ -166,4 +167,5 @@ if __name__ == "__main__":
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--seed", type=int, default=100)
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--scan_blocks", action="store_true")
     main(parser.parse_args())

@@ -31,7 +31,7 @@ def _args(public_root, outdir, sample_rate=1.0):
         loss="CosFace", embedding_size=16, image_size=24, batch_size=16,
         num_epoch=2, lr=0.05, lr_steps="1", scale=30.0, margin=0.4,
         momentum=0.9, weight_decay=5e-4, sample_rate=sample_rate,
-        num_workers=2, log_every=2, seed=100, fp32=True)
+        num_workers=2, log_every=2, seed=100, fp32=True, scan_blocks=False)
 
 
 def test_pretrain_full_softmax(public_root, tmp_path):
