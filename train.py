@@ -75,34 +75,26 @@ def main(args):
 
     data = AllClientData(cfg, include_public=cfg.fed.add_pretrained_data)
 
-    # per-round generic eval over .bin targets (reference server.test)
-    bin_cb = None
-    embed_fn = None
-    if cfg.data.val_root:
-        from fedfr_tpu.models import build_backbone
+    # server first: its backbone/bce modules are shared by every eval callback
+    # so the jitted embedding forward compiles once per batch shape
+    server = Server(cfg, data)
 
-        backbone = build_backbone(cfg.model.network, cfg.model.embedding_size,
-                                  cfg.model.dropout, cfg.model.bf16,
-                                  scan_blocks=cfg.model.scan_blocks)
-        embed_fn = make_embed_fn(backbone)
+    bin_cb = None
+    if cfg.data.val_root:
         bin_cb = BinVerificationCallback(
-            embed_fn, cfg.runtime.val_targets, cfg.data.val_root, logger=logger,
+            server._embed_fn, cfg.runtime.val_targets, cfg.data.val_root,
+            logger=logger,
             image_size=(cfg.data.image_size, cfg.data.image_size))
 
     local_cb = None
     if cfg.data.local_veri_dir and os.path.exists(cfg.data.local_veri_dir):
         from fedfr_tpu.evalsuite.local_eval import LocalVerificationCallback
-        from fedfr_tpu.models import BCEModule, build_backbone as _bb
 
         local_veri = FaceRecordDataset(cfg.data.local_veri_dir, prefix="test")
-        bb = _bb(cfg.model.network, cfg.model.embedding_size,
-                 cfg.model.dropout, cfg.model.bf16,
-                 scan_blocks=cfg.model.scan_blocks)
-        bce = BCEModule(cfg.model.embedding_size, data.train_class_sizes[0],
-                        cfg.model.converter_layers)
         local_cb = LocalVerificationCallback(
-            bb, bce, local_veri, cfg.runtime.output_dir,
-            batch_size=cfg.data.eval_batch_size)
+            server.backbone, server.bce_module, local_veri,
+            cfg.runtime.output_dir, batch_size=cfg.data.eval_batch_size,
+            plain_embed_fn=server._embed_fn)
 
     def eval_callback(server):
         if bin_cb is None:
@@ -137,8 +129,8 @@ def main(args):
         local_cb.veri_test(variables, epoch, client.target_ids, client.cid,
                            bce_params)
 
-    server = Server(cfg, data, eval_callback=eval_callback,
-                    local_eval_callback=local_eval_callback)
+    server.eval_callback = eval_callback
+    server.local_eval_callback = local_eval_callback
 
     from fedfr_tpu.utils.checkpoint import RoundCheckpointer
 
