@@ -26,45 +26,27 @@ import numpy as np
 NUM_BINS = 2001  # int((cos+1)*1000) for cos in [-1, 1]
 
 
-@functools.partial(jax.jit, static_argnames=("bins",))
-def _tile_histogram(feats_i, labels_i, gidx_i, feats_j, labels_j, gidx_j,
-                    target_size, bins: int = NUM_BINS):
-    """Histogram one (I x J) similarity tile into interleaved pos/neg bins.
+def _tiled_histogram_scan(fi_all, li_all, gi_all, fj_all, lj_all, gj_all,
+                          target_size, n_real, *, tile_i: int, tile_j: int,
+                          num_i: int, bins: int = NUM_BINS):
+    """fori_loop over (i, j) tiles; one masked bincount per MXU tile.
 
-    Pair validity mirrors the CUDA kernel guard (roc_cuda.py:17):
-    ``i < j`` (global indices) and ``i < target_size``.
+    Pair validity mirrors the CUDA kernel guard (roc_cuda.py:17): ``gi < gj``
+    and ``gi < target_size``; ``gj < n_real`` kills padded rows.  Shared by
+    the single-device and shard_map paths.
     """
-    sim = jnp.dot(feats_i, feats_j.T, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    idx = jnp.clip(((sim + 1.0) * 1000.0).astype(jnp.int32), 0, bins - 1)
-    is_pos = labels_i[:, None] == labels_j[None, :]
-    valid = (gidx_i[:, None] < gidx_j[None, :]) & (gidx_i[:, None] < target_size)
-    combined = jnp.where(valid, idx * 2 + jnp.where(is_pos, 0, 1), 2 * bins)
-    return jnp.bincount(combined.reshape(-1), length=2 * bins + 1)[: 2 * bins]
-
-
-@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "num_i", "bins"))
-def _device_histogram(feats, labels, gidx, target_size, n_real, *, tile_i: int,
-                      tile_j: int, num_i: int, bins: int = NUM_BINS):
-    """Single-dispatch full histogram: fori over (i,j) tiles on device.
-
-    All operands live on device; tiles are dynamic slices of the resident
-    feature matrix, so the host moves the data exactly once.  Pair validity
-    (roc_cuda.py:17): ``gi < gj``, ``gi < target_size``, plus ``gj < n_real``
-    to kill padded rows.
-    """
-    n = feats.shape[0]
-    num_j = n // tile_j
+    e = fi_all.shape[1]
+    num_j = fj_all.shape[0] // tile_j
 
     def body(k, hist):
         i0 = (k // num_j) * tile_i
         j0 = (k % num_j) * tile_j
-        fj = jax.lax.dynamic_slice(feats, (j0, 0), (tile_j, feats.shape[1]))
-        lj = jax.lax.dynamic_slice(labels, (j0,), (tile_j,))
-        gj = jax.lax.dynamic_slice(gidx, (j0,), (tile_j,))
-        fi = jax.lax.dynamic_slice(feats, (i0, 0), (tile_i, feats.shape[1]))
-        li = jax.lax.dynamic_slice(labels, (i0,), (tile_i,))
-        gi = jax.lax.dynamic_slice(gidx, (i0,), (tile_i,))
+        fj = jax.lax.dynamic_slice(fj_all, (j0, 0), (tile_j, e))
+        lj = jax.lax.dynamic_slice(lj_all, (j0,), (tile_j,))
+        gj = jax.lax.dynamic_slice(gj_all, (j0,), (tile_j,))
+        fi = jax.lax.dynamic_slice(fi_all, (i0, 0), (tile_i, e))
+        li = jax.lax.dynamic_slice(li_all, (i0,), (tile_i,))
+        gi = jax.lax.dynamic_slice(gi_all, (i0,), (tile_i,))
         sim = jnp.dot(fi, fj.T, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
         idx = jnp.clip(((sim + 1.0) * 1000.0).astype(jnp.int32), 0, bins - 1)
@@ -77,6 +59,15 @@ def _device_histogram(feats, labels, gidx, target_size, n_real, *, tile_i: int,
 
     return jax.lax.fori_loop(0, num_i * num_j, body,
                              jnp.zeros(2 * bins, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "num_i", "bins"))
+def _device_histogram(feats, labels, gidx, target_size, n_real, *, tile_i: int,
+                      tile_j: int, num_i: int, bins: int = NUM_BINS):
+    """Single-dispatch full histogram over device-resident feats."""
+    return _tiled_histogram_scan(feats, labels, gidx, feats, labels, gidx,
+                                 target_size, n_real, tile_i=tile_i,
+                                 tile_j=tile_j, num_i=num_i, bins=bins)
 
 
 def pairwise_roc_histogram_device(feats, labels, target_size: int,
@@ -140,30 +131,9 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
     gi = gidx[: num_i * tile_i]
 
     def body(fi, li, gi, fj, lj, gj):
-        num_j = fj.shape[0] // tile_j
-
-        def tile(k, hist):
-            i0 = (k // num_j) * tile_i
-            j0 = (k % num_j) * tile_j
-            fjt = jax.lax.dynamic_slice(fj, (j0, 0), (tile_j, e))
-            ljt = jax.lax.dynamic_slice(lj, (j0,), (tile_j,))
-            gjt = jax.lax.dynamic_slice(gj, (j0,), (tile_j,))
-            fit = jax.lax.dynamic_slice(fi, (i0, 0), (tile_i, e))
-            lit = jax.lax.dynamic_slice(li, (i0,), (tile_i,))
-            git = jax.lax.dynamic_slice(gi, (i0,), (tile_i,))
-            sim = jnp.dot(fit, fjt.T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-            idx = jnp.clip(((sim + 1.0) * 1000.0).astype(jnp.int32), 0, NUM_BINS - 1)
-            is_pos = lit[:, None] == ljt[None, :]
-            valid = ((git[:, None] < gjt[None, :]) & (git[:, None] < target_size)
-                     & (gjt[None, :] < n))
-            combined = jnp.where(valid, idx * 2 + jnp.where(is_pos, 0, 1),
-                                 2 * NUM_BINS)
-            return hist + jnp.bincount(combined.reshape(-1),
-                                       length=2 * NUM_BINS + 1)[: 2 * NUM_BINS]
-
-        hist = jax.lax.fori_loop(0, num_i * num_j, tile,
-                                 jnp.zeros(2 * NUM_BINS, jnp.int32))
+        hist = _tiled_histogram_scan(fi, li, gi, fj, lj, gj,
+                                     jnp.int32(target_size), jnp.int32(n),
+                                     tile_i=tile_i, tile_j=tile_j, num_i=num_i)
         return jax.lax.psum(hist, axis)
 
     fn = shard_map(body, mesh=mesh,
