@@ -86,6 +86,9 @@ class FederatedConfig:
     client_sampled_ratio: float = 1.0
     adaptive_local_epoch: bool = True   # le = max(4, le-2) per round (server.py:278-280)
     aggr_alg: str = "FedAvg"
+    fedprox_mu: float = 0.0             # FedProx proximal weight (0 = off);
+                                        # the reference's --aggr_alg FedProx is
+                                        # aggregation-only (server.py:327)
     spreadout: bool = False
     spreadout_iters: int = 20
     spreadout_margin: float = 0.4       # server.py:348 passes margin=0.4

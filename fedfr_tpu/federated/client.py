@@ -195,7 +195,8 @@ class Client:
                 temperature=cfg.loss.temperature, momentum=cfg.optim.momentum,
                 weight_decay=cfg.optim.weight_decay, bce_detach=cfg.fed.bce_detach,
                 contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
-                num_local=self.num_classes, num_clients=cfg.data.num_clients)
+                num_local=self.num_classes, num_clients=cfg.data.num_clients,
+                fedprox_mu=cfg.fed.fedprox_mu)
 
         if len(loader) == 0:
             raise ValueError(

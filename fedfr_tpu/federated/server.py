@@ -185,7 +185,8 @@ class Server:
                 weight_decay=cfg.optim.weight_decay, bce_detach=cfg.fed.bce_detach,
                 contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
                 num_local=self.clients[0].num_classes,
-                num_clients=cfg.data.num_clients)
+                num_clients=cfg.data.num_clients,
+                fedprox_mu=cfg.fed.fedprox_mu)
 
         models, fcs, sizes, losses = [], [], [], []
         for pos, cid in enumerate(self.current_client_list):
@@ -272,7 +273,8 @@ class Server:
             weight_decay=cfg.optim.weight_decay, bce_detach=cfg.fed.bce_detach,
             contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
             num_local=self.clients[0].num_classes,
-            num_clients=cfg.data.num_clients)
+            num_clients=cfg.data.num_clients,
+            fedprox_mu=cfg.fed.fedprox_mu)
 
         from ..utils.optim import step_lr
 

@@ -53,11 +53,18 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
                            weight_decay: float = 5e-4, bce_detach: bool = False,
                            contrastive: bool = True, reweight: bool = False,
                            num_local: int = 100, num_clients: int = 40,
+                           fedprox_mu: float = 0.0,
                            donate: bool = True, jit: bool = True) -> Callable:
     """Train step for the joint local+public objective with the BCE branch.
 
     ``jit=False`` returns the raw step body (used by the client-parallel
-    vmapped trainer, parallel/client_parallel.py)."""
+    vmapped trainer, parallel/client_parallel.py).
+
+    ``fedprox_mu`` > 0 adds the FedProx proximal term
+    mu/2 * ||w - w_global||^2 over the backbone parameters.  The reference
+    accepts --aggr_alg FedProx but never applies the proximal penalty
+    (server.py:327 treats it as FedAvg); here it is implemented.
+    """
     margin_fn = MARGINS[margin]
 
     def step(state: ClientTrainState, global_vars, last_vars,
@@ -89,6 +96,12 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
                 con_l = jnp.zeros(())
 
             total = cos_l + bce_weight * bce_l + mu * con_l
+            if fedprox_mu > 0.0:
+                sq = jax.tree_util.tree_map(
+                    lambda p, g: jnp.sum((p - jax.lax.stop_gradient(g)) ** 2),
+                    train_params["backbone"], global_vars["params"])
+                total = total + 0.5 * fedprox_mu * sum(
+                    jax.tree_util.tree_leaves(sq))
             aux = (new_vars.get("batch_stats"), StepMetrics(total, cos_l, bce_l, con_l))
             return total, aux
 

@@ -205,3 +205,36 @@ def test_sharded_embed_matches_plain(fl_root):
     a = np.asarray(plain(variables, u8))
     b = np.asarray(sharded(variables, u8))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fedprox_proximal_term(fl_root):
+    """fedprox_mu pulls client updates toward the global model."""
+    cfg = _tiny_cfg(fl_root)
+    cfg.fed.fedprox_mu = 10.0  # strong (but stable: lr*mu < 1) pull
+    cfg.optim.lr = 0.01
+    data = AllClientData(cfg)
+    server_prox = Server(cfg, data)
+    stats = server_prox.train_round()
+    assert np.isfinite(stats["avg_loss"])
+
+    cfg2 = _tiny_cfg(fl_root)
+    cfg2.optim.lr = 0.01
+    server_free = Server(cfg2, AllClientData(cfg2))
+    server_free.train_round()
+
+    def drift(server):
+        g = jax.tree_util.tree_leaves(server.federated_vars["params"])
+        c = jax.tree_util.tree_leaves(
+            server.clients[0].trained_backbone["params"])
+        return sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+                   for a, b in zip(g, c))
+
+    # both servers started from identical global weights (same seed); the
+    # proximal run's client must stay closer to ITS round-start global model
+    start = jax.tree_util.tree_leaves(
+        Server(_tiny_cfg(fl_root), AllClientData(_tiny_cfg(fl_root))).federated_vars["params"])
+    def dist_from_start(server):
+        c = jax.tree_util.tree_leaves(server.clients[0].trained_backbone["params"])
+        return sum(float(np.sum((np.asarray(a) - np.asarray(b)) ** 2))
+                   for a, b in zip(start, c))
+    assert dist_from_start(server_prox) < dist_from_start(server_free)
