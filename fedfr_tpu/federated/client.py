@@ -110,8 +110,6 @@ class Client:
         """FC-based mining (reference choose_hard_negative, client.py:227-267):
         cosine similarity between the client's local FC rows and the public FC
         rows selects hard-negative identities; all their images survive."""
-        import jax
-
         sim = np.asarray(jax.jit(
             lambda a, b: jnp.dot(
                 a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-12),
