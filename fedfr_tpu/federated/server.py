@@ -52,11 +52,17 @@ class Server:
         # global federated model
         pre_root = cfg.runtime.pretrained_root
         bb_path = os.path.join(pre_root, "backbone.pth") if pre_root else ""
+        bb_npz = os.path.join(pre_root, "backbone.npz") if pre_root else ""
         if bb_path and os.path.exists(bb_path):
             sd = torch_interop.load_pth(bb_path)
             self.federated_vars = torch_interop.backbone_from_torch(
                 cfg.model.network, sd, scan_blocks=cfg.model.scan_blocks)
             logger.info("loaded pretrained backbone from %s", bb_path)
+        elif bb_npz and os.path.exists(bb_npz):
+            from ..utils.checkpoint import load_native
+
+            self.federated_vars = load_native(bb_npz)
+            logger.info("loaded pretrained backbone from %s", bb_npz)
         else:
             key = jax.random.PRNGKey(cfg.runtime.seed)
             hw = cfg.data.image_size

@@ -35,13 +35,19 @@ def init_logging(output_dir: str, name: str = "fedfr_tpu",
     root = logging.getLogger(name)
     root.setLevel(logging.DEBUG)
     root.propagate = False
-    if root.handlers:
-        return root
     fmt = logging.Formatter("Training: %(asctime)s-%(message)s")
-    hs = logging.StreamHandler(sys.stdout)
-    hs.setLevel(logging.INFO)
-    hs.setFormatter(fmt)
-    root.addHandler(hs)
+    # re-point the file handler when a new run re-initializes in-process
+    for h in list(root.handlers):
+        if isinstance(h, logging.FileHandler):
+            root.removeHandler(h)
+            h.close()
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler)
+               for h in root.handlers):
+        hs = logging.StreamHandler(sys.stdout)
+        hs.setLevel(logging.INFO)
+        hs.setFormatter(fmt)
+        root.addHandler(hs)
     os.makedirs(output_dir, exist_ok=True)
     hf = logging.FileHandler(os.path.join(output_dir, log_name), mode="w")
     hf.setLevel(logging.DEBUG)

@@ -203,3 +203,33 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     back = load_orbax(path)
     np.testing.assert_array_equal(back["a"], tree["a"])
     np.testing.assert_array_equal(back["b"]["c"], tree["b"]["c"])
+
+
+def test_pretrain_then_train_chain(pipeline_root, tmp_path):
+    """The reference workflow: pretrain produces backbone/fc/labels, train
+    consumes them via --pretrained_root (server.py:87-124 loading paths)."""
+    import pretrain as pre_cli
+    import train as train_cli
+
+    pre_out = tmp_path / "pretrain"
+    pre_out.mkdir()
+    pre_args = argparse.Namespace(
+        data_dir=os.path.join(pipeline_root, "ms1m_split", "split_pretrain_6000",
+                              "client_0000"),
+        output_dir=str(pre_out), network="toy", loss="CosFace",
+        embedding_size=16, image_size=IMG, batch_size=8, num_epoch=1, lr=0.05,
+        lr_steps="1", scale=30.0, margin=0.4, momentum=0.9, weight_decay=5e-4,
+        sample_rate=1.0, num_workers=2, log_every=2, seed=100, fp32=True,
+        scan_blocks=False)
+    pre_cli.main(pre_args)
+    assert os.path.exists(pre_out / "backbone.npz")
+    assert os.path.exists(pre_out / "fc.pth")
+
+    args = _train_args(pipeline_root, tmp_path / "train", total_round=1)
+    args.pretrained_root = str(pre_out)
+    args.init_fc = False  # use the pretrained perfect FC (server.py:119-125)
+    train_cli.main(args)
+    log = open(tmp_path / "train" / "training.log").read()
+    assert "loaded pretrained backbone" in log
+    assert "loaded pretrained perfect FC" in log
+    assert "loaded pretrain labels" in log
