@@ -33,4 +33,7 @@ if __name__ == "__main__":
     parser.add_argument("--job", default="1:1")
     parser.add_argument("--epoch", type=int, nargs="+")
     parser.add_argument("--network", default="sphnet")
+    parser.add_argument("--gpu", type=str, nargs="+", default=None,
+                        help="accepted for reference-command compatibility; "
+                             "device placement is managed by JAX")
     main(parser.parse_args())

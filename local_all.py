@@ -146,6 +146,10 @@ if __name__ == "__main__":
     parser.add_argument("--epoch", type=int, default=-1)
     parser.add_argument("--num_client", type=int, default=40)
     parser.add_argument("--network", default="sphnet")
+    parser.add_argument("--gpu", type=str, nargs="+", default=None,
+                        help="accepted for reference-command compatibility")
+    parser.add_argument("--fp16", action="store_true",
+                        help="reference-compat alias (bf16 trunk is default)")
     parser.add_argument("--batch_size", type=int, default=512)
     parser.add_argument("--fp32", action="store_true")
     main(parser.parse_args())
