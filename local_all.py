@@ -63,6 +63,9 @@ def main(args):
     results = []
     tables = []
     if args.backbone == "single":
+        if args.task == "1:1":
+            with open(os.path.join(log_dir, "local_log.txt"), "a") as f:
+                f.write("1:1 at Epoch : %d\n" % args.epoch)
         path = os.path.join(args.ckpt_path, f"backbone_{args.epoch}.pth")
         if not os.path.exists(path):
             path = os.path.join(args.ckpt_path, f"backbone_{args.epoch}.npz")
