@@ -90,12 +90,16 @@ def open_set_identification(query_feats: np.ndarray, gallery_feats: np.ndarray,
 
 def client_query_mask(labels: np.ndarray, start_id: int, end_id: int,
                       imgs_per_id: int = 40) -> np.ndarray:
-    """Build the query->gallery mask for one client (local_all.py:399-406):
-    rows [start_id*K, end_id*K) are in-gallery (relabeled), rest -1."""
-    mask = np.full(len(labels), -1, dtype=np.int64)
-    lo, hi = start_id * imgs_per_id, end_id * imgs_per_id
-    mask[lo:hi] = labels[lo:hi] - start_id
-    return mask
+    """Build the query->gallery mask for one client (local_all.py:399-406).
+
+    The reference slices rows positionally ([start_id*40, end_id*40)),
+    relying on the veri rec's by-identity ordering with 40 imgs each; masking
+    by label value is identical on that layout and also correct for any
+    image-per-identity count.
+    """
+    labels = np.asarray(labels)
+    in_client = (labels >= start_id) & (labels < end_id)
+    return np.where(in_client, labels - start_id, -1).astype(np.int64)
 
 
 class LocalVerificationCallback:

@@ -28,13 +28,14 @@ def main(args):
 
     from ijbc_all import load_backbone_variables
 
-    backbone = build_backbone(args.network, bf16=not args.fp32)
-    bce_module = BCEModule(512, 4000 // args.num_client)
+    backbone = build_backbone(args.network, args.embedding_size,
+                              bf16=not args.fp32)
+    bce_module = BCEModule(args.embedding_size, args.num_ids // args.num_client)
     embed_fn_plain = make_embed_fn(backbone)
     embed_fn_conv = make_embed_fn(backbone, bce_module)
 
     veri = FaceRecordDataset(args.data_dir, prefix="test")
-    ids_per_client = 4000 // args.num_client
+    ids_per_client = args.num_ids // args.num_client
     log_dir = args.ckpt_path
 
     def embed_with(variables, bce_params):
@@ -84,7 +85,7 @@ def main(args):
                                            epoch=args.epoch, output_dir=log_dir))
             else:
                 cg = class_mean_features(
-                    gallery_feats, gallery_labels, 4000)[start:end]
+                    gallery_feats, gallery_labels, args.num_ids)[start:end]
                 mask = client_query_mask(labels, start, end)
                 res, fars = open_set_identification(feats.copy(), cg, mask)
                 results.append(res)
@@ -148,6 +149,9 @@ if __name__ == "__main__":
     parser.add_argument("--gallery_data_dir", type=str, default="")
     parser.add_argument("--epoch", type=int, default=-1)
     parser.add_argument("--num_client", type=int, default=40)
+    parser.add_argument("--num_ids", type=int, default=4000,
+                        help="total FL identities (reference convention: 4000)")
+    parser.add_argument("--embedding_size", type=int, default=512)
     parser.add_argument("--network", default="sphnet")
     parser.add_argument("--gpu", type=str, nargs="+", default=None,
                         help="accepted for reference-command compatibility")
