@@ -26,7 +26,8 @@ def main(args):
     from fedfr_tpu.models import build_backbone
 
     variables = load_backbone_variables(args.network, args.model_prefix)
-    backbone = build_backbone(args.network, bf16=not args.fp32)
+    backbone = build_backbone(args.network, args.embedding_size,
+                              bf16=not args.fp32)
     embed_fn = make_embed_fn(backbone)
 
     preloaded = np.load(args.load_feature) if args.load_feature else None
@@ -45,6 +46,7 @@ if __name__ == "__main__":
     parser.add_argument("--epoch", type=int, default=0)
     parser.add_argument("--batch-size", default=128, type=int)
     parser.add_argument("--network", default="sphnet", type=str)
+    parser.add_argument("--embedding_size", default=512, type=int)
     parser.add_argument("--job", default="1:1", type=str,
                         help="1:1 or 1:n or both")
     parser.add_argument("--target", default="IJBC", type=str)

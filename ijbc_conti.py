@@ -11,7 +11,7 @@ def main(args):
 
     from ijbc_all import load_backbone_variables
 
-    backbone = build_backbone(args.network)
+    backbone = build_backbone(args.network, args.embedding_size)
     embed_fn = make_embed_fn(backbone)
     for e in args.epoch:
         path = f"{args.ckpt_dir}/backbone_{e}.pth"
@@ -33,6 +33,7 @@ if __name__ == "__main__":
     parser.add_argument("--job", default="1:1")
     parser.add_argument("--epoch", type=int, nargs="+")
     parser.add_argument("--network", default="sphnet")
+    parser.add_argument("--embedding_size", type=int, default=512)
     parser.add_argument("--gpu", type=str, nargs="+", default=None,
                         help="accepted for reference-command compatibility; "
                              "device placement is managed by JAX")
