@@ -238,3 +238,12 @@ def test_fedprox_proximal_term(fl_root):
         return sum(float(np.sum((np.asarray(a) - np.asarray(b)) ** 2))
                    for a, b in zip(start, c))
     assert dist_from_start(server_prox) < dist_from_start(server_free)
+
+
+def test_branch_step_with_reweight_and_detach(fl_root):
+    """Less-common trainer flags (reweight_cosface, BCE_detach) compile and run."""
+    cfg = _tiny_cfg(fl_root, reweight_cosface=True, bce_detach=True)
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+    stats = server.train_round()
+    assert np.isfinite(stats["avg_loss"])
