@@ -27,12 +27,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from fedfr_tpu.models import build_backbone
+    from fedfr_tpu.models.factory import fast_zero_variables
     from fedfr_tpu.federated.state import normalize_images
 
     batch = 2048  # large batches keep the small-spatial stages MXU-bound
     backbone = build_backbone("sphnet", 512, bf16=True, scan_blocks=True)
-    variables = backbone.init(jax.random.PRNGKey(0),
-                              jnp.zeros((1, 112, 112, 3)), train=False)
+    # weight values are irrelevant for throughput; zero-init avoids remote-
+    # compiling the full flax init program (~70s on the tunneled rig)
+    variables = fast_zero_variables(backbone, jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 112, 112, 3)), train=False)
 
     @jax.jit
     def embed(variables, u8):

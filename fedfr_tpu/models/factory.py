@@ -44,3 +44,24 @@ def build_backbone(name: str, embedding_size: int = 512, dropout: float = 0.0,
         return IResNet(depth=depth, embedding_size=embedding_size,
                        dropout=dropout, bf16=bf16, scan_blocks=scan_blocks)
     raise ValueError(f"unknown backbone '{name}'")
+
+
+def fast_zero_variables(module, *init_args, **init_kwargs):
+    """Zero-valued variables with the exact structure/shapes of module.init.
+
+    ``module.init`` is a full device program (expensive to compile on remote
+    rigs); for compile checks and throughput benchmarks the values are
+    irrelevant, so materialize zeros from ``jax.eval_shape`` in ONE tiny
+    program instead.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(lambda: module.init(*init_args, **init_kwargs))
+
+    @jax.jit
+    def zeros():
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    return zeros()
