@@ -50,19 +50,38 @@ def _confusion_counts(dist: np.ndarray, issame: np.ndarray,
 
 
 def calculate_roc(thresholds: np.ndarray, emb1: np.ndarray, emb2: np.ndarray,
-                  issame: np.ndarray, nrof_folds: int = 10
+                  issame: np.ndarray, nrof_folds: int = 10, pca: int = 0
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-threshold TPR/FPR (fold-averaged) + per-fold accuracy at the
-    fold-best threshold (reference calculate_roc, verification.py:54-106)."""
+    fold-best threshold (reference calculate_roc, verification.py:54-106).
+
+    ``pca > 0`` fits a per-fold PCA on the training pairs, transforms and
+    re-normalizes both embedding sets, and computes distances in that space
+    (verification.py:76-88; unused by the FedFR path, kept for protocol
+    completeness).
+    """
     n = min(len(issame), emb1.shape[0])
-    dist = np.sum((emb1 - emb2) ** 2, axis=1)
     issame = np.asarray(issame, bool)
+    if pca == 0:
+        dist_full = np.sum((emb1 - emb2) ** 2, axis=1)
 
     folds = kfold_indices(n, nrof_folds)
     tprs = np.zeros((len(folds), len(thresholds)))
     fprs = np.zeros((len(folds), len(thresholds)))
     accuracy = np.zeros(len(folds))
     for k, (train, test) in enumerate(folds):
+        if pca > 0:
+            from sklearn.decomposition import PCA
+
+            model = PCA(n_components=pca)
+            model.fit(np.concatenate([emb1[train], emb2[train]], axis=0))
+            e1 = model.transform(emb1)
+            e2 = model.transform(emb2)
+            e1 = e1 / np.maximum(np.linalg.norm(e1, axis=1, keepdims=True), 1e-12)
+            e2 = e2 / np.maximum(np.linalg.norm(e2, axis=1, keepdims=True), 1e-12)
+            dist = np.sum((e1 - e2) ** 2, axis=1)
+        else:
+            dist = dist_full
         tp, fp, tn, fn = _confusion_counts(dist[train], issame[train], thresholds)
         acc_train = (tp + tn) / len(train)
         best = int(np.argmax(acc_train))

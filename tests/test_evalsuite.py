@@ -387,3 +387,18 @@ def test_parse_log_roundtrip(tmp_path):
     assert set(acc) == {0, 100}
     assert acc[0][0] == (-1, [80.0, 70.0, 60.0, 50.0, 40.0, 30.0])
     parse_log.main(os.path.join(d, "local_log.txt"))  # prints summary
+
+
+def test_calculate_roc_pca_variant():
+    """PCA mode (verification.py:76-88) runs and stays sane on separable data."""
+    rng = np.random.default_rng(13)
+    n = 100
+    issame = rng.random(n) > 0.5
+    e1 = rng.standard_normal((n, 16))
+    e2 = np.where(issame[:, None], e1 + 0.1 * rng.standard_normal((n, 16)),
+                  rng.standard_normal((n, 16)))
+    e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
+    e2 /= np.linalg.norm(e2, axis=1, keepdims=True)
+    thresholds = np.arange(0, 4, 0.01)
+    _, _, acc = calculate_roc(thresholds, e1, e2, issame, nrof_folds=5, pca=8)
+    assert acc.mean() > 0.8
