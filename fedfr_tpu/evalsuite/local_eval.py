@@ -114,12 +114,12 @@ class LocalVerificationCallback:
     def __init__(self, backbone, bce_module, veri_dataset, output_dir: str,
                  batch_size: int = 512, frequent: int = 1, threshold: int = -1,
                  plain_embed_fn=None):
-        from ..federated.embed import make_embed_fn
+        from ..federated.embed import auto_embed_fn
 
-        self.embed_fn = make_embed_fn(backbone, bce_module)
+        self.embed_fn = auto_embed_fn(backbone, bce_module)
         # reuse an existing jitted forward when provided (avoids recompiling
         # the identical embedding program)
-        self.plain_embed_fn = plain_embed_fn or make_embed_fn(backbone)
+        self.plain_embed_fn = plain_embed_fn or auto_embed_fn(backbone)
         self.dataset = veri_dataset
         self.output_dir = output_dir
         self.batch_size = batch_size

@@ -3,6 +3,7 @@ from .embed import (
     class_mean_features,
     embed_dataset,
     hard_negative_mask,
+    auto_embed_fn,
     make_embed_fn,
 )
 from .server import Server
@@ -26,5 +27,6 @@ __all__ = [
     "class_mean_features",
     "embed_dataset",
     "hard_negative_mask",
+    "auto_embed_fn",
     "make_embed_fn",
 ]

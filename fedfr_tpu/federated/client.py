@@ -19,7 +19,7 @@ from ..config import FedFRConfig
 from ..data.datasets import BatchLoader, CombinedDataset, FaceRecordDataset
 from ..data.pipeline import DevicePrefetcher
 from ..utils.optim import step_lr
-from .embed import class_mean_features, embed_dataset, hard_negative_mask, make_embed_fn
+from .embed import auto_embed_fn, class_mean_features, embed_dataset, hard_negative_mask
 from .trainer import init_client_state, make_branch_train_step, make_plain_train_step
 
 logger = logging.getLogger("fedfr_tpu.client")
@@ -63,7 +63,7 @@ class Client:
         self.trained_backbone: Optional[Dict[str, Any]] = None
         self.global_fc: Optional[np.ndarray] = None
 
-        self._embed_fn = make_embed_fn(backbone)
+        self._embed_fn = auto_embed_fn(backbone)
 
     # ------------------------------------------------------------- FC init
 

@@ -45,20 +45,48 @@ def make_sharded_embed_fn(backbone, mesh, axis: str = "data",
     """Data-parallel embedding over a mesh axis (replaces nn.DataParallel in
     every reference eval loop).  Variables are replicated, the batch is
     sharded over ``axis``; XLA SPMD partitions the forward.
+
+    Batches whose leading dim is not a multiple of the axis size are padded
+    (by repeating the first row) and the pad rows are sliced off the output,
+    so any caller batch size works.  Replicated variable placement is
+    memoized by tree identity so weights transfer to the mesh once, not per
+    batch.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    nd = mesh.shape[axis]
     batch_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     base = make_embed_fn(backbone, bce_module)
+    memo: dict = {}  # id(variables) -> replicated placement
 
     def embed(variables, u8, *args):
-        variables = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl), variables)
+        if memo.get("ref") is not variables:
+            memo["ref"] = variables  # strong ref: keeps id-identity valid
+            memo["placed"] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), variables)
+        b = u8.shape[0]
+        bpad = ((b + nd - 1) // nd) * nd
+        if bpad > b:
+            u8 = jnp.concatenate([u8, jnp.repeat(u8[:1], bpad - b, axis=0)])
         u8 = jax.device_put(u8, batch_sh)
-        return base(variables, u8, *args)
+        out = base(memo["placed"], u8, *args)
+        return out[:b] if bpad > b else out
 
     return embed
+
+
+def auto_embed_fn(backbone, bce_module=None) -> Callable:
+    """The production embed fn: data-parallel over every visible device when
+    more than one is present (mesh ``data`` axis, replaces the reference's
+    nn.DataParallel in server.py:246, eval_local.py:128, local_all.py:105,
+    ijbc_all.py:51), else the plain single-device jitted forward."""
+    if jax.device_count() > 1:
+        from ..parallel.mesh import data_mesh
+
+        return make_sharded_embed_fn(backbone, data_mesh(),
+                                     bce_module=bce_module)
+    return make_embed_fn(backbone, bce_module)
 
 
 @functools.partial(jax.jit, static_argnames=("flip",))

@@ -23,7 +23,7 @@ from ..models import BCEModule, build_backbone
 from ..parallel.fedavg import fed_weighted_average, fedavg_on_fc, spreadout, stack_trees
 from ..utils import torch_interop
 from .client import Client
-from .embed import class_mean_features, embed_dataset, make_embed_fn
+from .embed import auto_embed_fn, class_mean_features, embed_dataset
 from .trainer import make_branch_train_step
 
 logger = logging.getLogger("fedfr_tpu.server")
@@ -47,7 +47,7 @@ class Server:
                                     cfg.model.converter_layers,
                                     m=cfg.loss.bce_margin, r=cfg.loss.bce_scale,
                                     t=cfg.loss.bce_t)
-        self._embed_fn = make_embed_fn(self.backbone)
+        self._embed_fn = auto_embed_fn(self.backbone)
 
         # global federated model
         pre_root = cfg.runtime.pretrained_root

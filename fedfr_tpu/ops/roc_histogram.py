@@ -148,15 +148,26 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
 
 def pairwise_roc_histogram(feats: np.ndarray, labels: np.ndarray,
                            target_size: int, tile_i: int = 1024,
-                           tile_j: int = 8192) -> np.ndarray:
+                           tile_j: int = 8192, mesh=None) -> np.ndarray:
     """(N,E) l2-normalized feats -> (2001, 2) [pos, neg] pair-count histogram.
 
     Rows [0, target_size) must be the target client's images (the caller
     reorders, as roc_cuda.py:127-134 does).  One host->device upload; all
-    tiling happens on device (_device_histogram).
+    tiling happens on device.  With more than one visible device the j-rows
+    are sharded over the mesh ``data`` axis and partial histograms psum over
+    ICI (the production replacement for roc_cuda.py:89-108's per-GPU
+    multiprocess fan-out); pass ``mesh`` to override the auto layout.
     """
-    hist = pairwise_roc_histogram_device(feats, labels, target_size,
-                                         tile_i, tile_j)
+    if mesh is None and jax.device_count() > 1:
+        from ..parallel.mesh import data_mesh
+
+        mesh = data_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        hist = pairwise_roc_histogram_sharded(mesh, feats, labels, target_size,
+                                              tile_i, tile_j)
+    else:
+        hist = pairwise_roc_histogram_device(feats, labels, target_size,
+                                             tile_i, tile_j)
     return np.asarray(hist, dtype=np.int64).reshape(NUM_BINS, 2)
 
 

@@ -49,6 +49,17 @@ def model_mesh(num_shards: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(1, 1, n), AXES)
 
 
+def data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """A mesh with every device on the ``data`` axis (evaluation layout:
+    replicated weights, batch/row sharding — replaces nn.DataParallel and
+    the per-GPU ROC fan-out of roc_cuda.py:89-108)."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    return Mesh(np.asarray(devices).reshape(1, n, 1), AXES)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

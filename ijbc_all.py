@@ -22,13 +22,13 @@ def main(args):
     import numpy as np
 
     from fedfr_tpu.evalsuite.ijbc import run_ijbc
-    from fedfr_tpu.federated.embed import make_embed_fn
+    from fedfr_tpu.federated.embed import auto_embed_fn
     from fedfr_tpu.models import build_backbone
 
     variables = load_backbone_variables(args.network, args.model_prefix)
     backbone = build_backbone(args.network, args.embedding_size,
                               bf16=not args.fp32)
-    embed_fn = make_embed_fn(backbone)
+    embed_fn = auto_embed_fn(backbone)
 
     preloaded = np.load(args.load_feature) if args.load_feature else None
     results = run_ijbc(embed_fn, variables, args.root_path, args.result_dir,

@@ -6,13 +6,13 @@ import argparse
 
 def main(args):
     from fedfr_tpu.evalsuite.ijbc import run_ijbc
-    from fedfr_tpu.federated.embed import make_embed_fn
+    from fedfr_tpu.federated.embed import auto_embed_fn
     from fedfr_tpu.models import build_backbone
 
     from ijbc_all import load_backbone_variables
 
     backbone = build_backbone(args.network, args.embedding_size)
-    embed_fn = make_embed_fn(backbone)
+    embed_fn = auto_embed_fn(backbone)
     for e in args.epoch:
         path = f"{args.ckpt_dir}/backbone_{e}.pth"
         import os

@@ -22,7 +22,7 @@ def main(args):
         mean_tpr_tables,
         open_set_identification,
     )
-    from fedfr_tpu.federated.embed import class_mean_features, embed_dataset, make_embed_fn
+    from fedfr_tpu.federated.embed import auto_embed_fn, class_mean_features, embed_dataset
     from fedfr_tpu.models import BCEModule, build_backbone
     from fedfr_tpu.utils import torch_interop
 
@@ -31,8 +31,8 @@ def main(args):
     backbone = build_backbone(args.network, args.embedding_size,
                               bf16=not args.fp32)
     bce_module = BCEModule(args.embedding_size, args.num_ids // args.num_client)
-    embed_fn_plain = make_embed_fn(backbone)
-    embed_fn_conv = make_embed_fn(backbone, bce_module)
+    embed_fn_plain = auto_embed_fn(backbone)
+    embed_fn_conv = auto_embed_fn(backbone, bce_module)
 
     veri = FaceRecordDataset(args.data_dir, prefix="test")
     ids_per_client = args.num_ids // args.num_client

@@ -193,6 +193,68 @@ def test_local_all_cli(pipeline_root, tmp_path):
     assert len(res) == 2
 
 
+def test_local_all_cli_multidevice(pipeline_root, tmp_path):
+    """Drive the REAL local_all.py main() end-to-end on the 8-device mesh:
+    embedding goes through make_sharded_embed_fn and the 1:1 ROC through
+    pairwise_roc_histogram_sharded (production multi-device wiring —
+    replaces reference roc_cuda.py:89-108 fan-out)."""
+    import jax
+
+    import local_all
+    import train as train_cli
+
+    assert jax.device_count() >= 8  # conftest virtual mesh
+
+    outdir = tmp_path / "run_md"
+    train_cli.main(_train_args(pipeline_root, outdir, total_round=1))
+
+    out = os.path.join(pipeline_root, "ms1m_split")
+    ns = argparse.Namespace(
+        backbone="multi", task="1:1", ckpt_path=str(outdir),
+        data_dir=os.path.join(out, f"local_veri_{NUM_IDS}"),
+        gallery_data_dir=os.path.join(out, f"local_gallery_{NUM_IDS}"),
+        epoch=-1, num_client=NUM_CLIENTS, num_ids=NUM_IDS,
+        embedding_size=16, network="toy", gpu=None, fp16=False,
+        batch_size=16, fp32=False)
+    local_all.main(ns)
+    log = open(os.path.join(str(outdir), "local_log.txt")).read()
+    assert "Mean (-6 to -1):" in log
+    assert "TPR (-1 to -6)" in log
+
+    ns.task = "1:n"
+    local_all.main(ns)
+    log = open(os.path.join(str(outdir), "local_log.txt")).read()
+    assert "1:n at Epoch : -1" in log
+
+    # single-backbone variant over a per-round global checkpoint
+    ns.task = "1:1"
+    ns.backbone = "single"
+    ns.epoch = 0
+    local_all.main(ns)
+
+
+def test_auto_embed_matches_plain(pipeline_root):
+    """auto_embed_fn (sharded, 8 devices) == make_embed_fn (single device),
+    including an odd batch size that forces internal padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from fedfr_tpu.federated.embed import auto_embed_fn, make_embed_fn
+    from fedfr_tpu.models import build_backbone
+
+    assert jax.device_count() >= 8
+    backbone = build_backbone("toy", 16)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, IMG, IMG, 3)), train=False)
+    rng = np.random.default_rng(3)
+    for b in (16, 13):  # 13: not divisible by 8 -> pad + slice path
+        u8 = jnp.asarray(rng.integers(0, 255, (b, IMG, IMG, 3), dtype=np.uint8))
+        plain = np.asarray(make_embed_fn(backbone)(variables, u8))
+        auto = np.asarray(auto_embed_fn(backbone)(variables, u8))
+        assert auto.shape == (b, 16)
+        np.testing.assert_allclose(auto, plain, rtol=1e-6, atol=1e-6)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     from fedfr_tpu.utils.checkpoint import load_orbax, save_orbax
 

@@ -153,8 +153,15 @@ def test_sharded_histogram_matches_single_device():
     mesh = make_mesh((1, 8, 1))
     sharded = np.asarray(pairwise_roc_histogram_sharded(
         mesh, feats, labels, tsize, tile_i=8, tile_j=8)).reshape(2001, 2)
-    single = pairwise_roc_histogram(feats, labels, tsize, tile_i=8, tile_j=16)
+    # the public entry point auto-dispatches to the sharded kernel when >1
+    # device is visible (production wiring) — must equal both layouts
+    auto = pairwise_roc_histogram(feats, labels, tsize, tile_i=8, tile_j=16)
+    from fedfr_tpu.ops.roc_histogram import pairwise_roc_histogram_device
+
+    single = np.asarray(pairwise_roc_histogram_device(
+        feats, labels, tsize, tile_i=8, tile_j=16)).reshape(2001, 2)
     np.testing.assert_array_equal(sharded, single)
+    np.testing.assert_array_equal(auto, single)
 
 
 def test_tpr_table_matches_scipy_interp():

@@ -63,7 +63,6 @@ def main(args):
     from fedfr_tpu.data.datasets import AllClientData, FaceRecordDataset
     from fedfr_tpu.evalsuite.verification import BinVerificationCallback
     from fedfr_tpu.federated import Server
-    from fedfr_tpu.federated.embed import make_embed_fn
     from fedfr_tpu.utils import torch_interop
     from fedfr_tpu.utils.checkpoint import save_native
     from fedfr_tpu.utils.logging import init_logging
