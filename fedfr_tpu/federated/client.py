@@ -202,7 +202,8 @@ class Client:
                 f"smaller than the batch size {cfg.data.combined_batch_size}")
         import time
 
-        key = jax.random.PRNGKey(cfg.runtime.seed + 31 * round_seed + self.cid)
+        key = jnp.asarray(jax.random.PRNGKey(
+            cfg.runtime.seed + 31 * round_seed + self.cid))
         loss_sum = np.zeros(4)
         n_steps = 0
         for epoch in range(local_epochs):
@@ -210,9 +211,8 @@ class Client:
             tic = time.time()
             epoch_steps = 0
             for imgs, labels, valid in loader.epoch():
-                key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, global_vars, last_vars,
-                                         imgs, labels, valid, lr, sub)
+                                         imgs, labels, valid, lr, key, n_steps)
                 n_steps += 1
                 epoch_steps += 1
             # pull metrics once per epoch (avoid per-step device sync; this
@@ -248,13 +248,14 @@ class Client:
                 self.backbone, margin=cfg.loss.loss, s=cfg.loss.margin_s,
                 m=cfg.loss.margin_m, momentum=cfg.optim.momentum,
                 weight_decay=cfg.optim.weight_decay)
-        key = jax.random.PRNGKey(cfg.runtime.seed + 31 * round_seed + self.cid)
+        key = jnp.asarray(jax.random.PRNGKey(
+            cfg.runtime.seed + 31 * round_seed + self.cid))
         last_loss = jnp.zeros(())
         n_steps = 0
         for _ in range(local_epochs):
             for imgs, labels, valid in loader.epoch():
-                key, sub = jax.random.split(key)
-                state, last_loss = step_fn(state, imgs, labels, valid, lr, sub)
+                state, last_loss = step_fn(state, imgs, labels, valid, lr,
+                                           key, n_steps)
                 n_steps += 1
         state = jax.device_get(state)
         self.fc_local = np.asarray(state.fc)

@@ -20,7 +20,11 @@ import numpy as np
 from ..config import FedFRConfig
 from ..data.datasets import AllClientData
 from ..models import BCEModule, build_backbone
-from ..parallel.fedavg import fed_weighted_average, fedavg_on_fc, spreadout, stack_trees
+from ..parallel.fedavg import (
+    fedavg_on_fc,
+    spreadout,
+    streaming_weighted_average,
+)
 from ..utils import torch_interop
 from .client import Client
 from .embed import auto_embed_fn, class_mean_features, embed_dataset
@@ -226,9 +230,11 @@ class Server:
         logger.info("round %d avg client loss %.5f", self.global_round,
                     float(np.mean(losses)))
 
-        # FedAvg over every leaf, BN stats included (server.py:322-338)
-        stacked = stack_trees([jax.tree_util.tree_map(jnp.asarray, m) for m in models])
-        self.federated_vars = jax.device_get(fed_weighted_average(stacked, weights))
+        # FedAvg over every leaf, BN stats included (server.py:322-338);
+        # streamed one client at a time so peak HBM stays at one state +
+        # accumulator even for 40 x iresnet200
+        self.federated_vars = jax.device_get(
+            streaming_weighted_average(models, weights))
 
         if cfg.fed.return_all and fcs:
             self.pretrained_fc = np.asarray(fedavg_on_fc(
@@ -326,17 +332,19 @@ class Server:
                 lambda x: jax.device_put(jnp.asarray(x), repl),
                 self.federated_vars)
 
-            keys = np.stack([np.asarray(jax.random.PRNGKey(
+            # same per-client base keys as the sequential loop; the shared
+            # step counter folds in inside the jitted step
+            keys = jax.device_put(np.stack([np.asarray(jax.random.PRNGKey(
                 cfg.runtime.seed + 31 * self.global_round + cid))
-                for cid in members])
+                for cid in members]), client_shard)
             metrics = None
+            step_no = 0
             for epoch in range(self.local_epoch):
                 lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
                              cfg.optim.lr_gamma)
                 for s in range(steps_per_epoch):
                     batches = [next(it) for it in iters]
                     imgs, labels, valid = stack_client_batches(batches)
-                    keys = keys + 1  # distinct fold per step
                     stacked, metrics = step_fn(
                         stacked,
                         global_repl,
@@ -345,7 +353,8 @@ class Server:
                         jax.device_put(labels, batch_shard),
                         jax.device_put(valid, batch_shard),
                         jnp.float32(lr),
-                        jax.device_put(keys, client_shard))
+                        keys, step_no)
+                    step_no += 1
                 logger.info("parallel group %s epoch %d/%d done",
                             group, epoch + 1, self.local_epoch)
 
@@ -366,10 +375,8 @@ class Server:
         weights = jnp.asarray(sizes, jnp.float32)
         logger.info("round %d (parallel) avg client loss %.5f",
                     self.global_round, float(np.mean(losses)))
-        stacked_models = stack_trees(
-            [jax.tree_util.tree_map(jnp.asarray, m) for m in models])
         self.federated_vars = jax.device_get(
-            fed_weighted_average(stacked_models, weights))
+            streaming_weighted_average(models, weights))
         if cfg.fed.return_all and fcs:
             self.pretrained_fc = np.asarray(fedavg_on_fc(
                 jnp.asarray(self.pretrained_fc),

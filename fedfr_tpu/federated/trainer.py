@@ -68,8 +68,12 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
     margin_fn = MARGINS[margin]
 
     def step(state: ClientTrainState, global_vars, last_vars,
-             images_u8, labels, valid, lr, rng):
-        x = train_preprocess(rng, images_u8)
+             images_u8, labels, valid, lr, rng, step_no):
+        # per-step key derived INSIDE jit from (client base key, step counter)
+        # so the sequential loop and the client-parallel vmapped loop consume
+        # identical randomness (parallel == sequential parity) and no host
+        # key-split dispatch happens per step
+        x = train_preprocess(jax.random.fold_in(rng, step_no), images_u8)
 
         def loss_fn(train_params, batch_stats):
             variables = {"params": train_params["backbone"]}
@@ -132,8 +136,8 @@ def make_plain_train_step(backbone, *, margin: str = "CosFace", s: float = 30.0,
     """CosFace-only local training (reference Client.train, client.py:511-571)."""
     margin_fn = MARGINS[margin]
 
-    def step(state: ClientTrainState, images_u8, labels, valid, lr, rng):
-        x = train_preprocess(rng, images_u8)
+    def step(state: ClientTrainState, images_u8, labels, valid, lr, rng, step_no):
+        x = train_preprocess(jax.random.fold_in(rng, step_no), images_u8)
 
         def loss_fn(train_params, batch_stats):
             variables = {"params": train_params["backbone"]}

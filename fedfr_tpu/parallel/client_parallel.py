@@ -48,13 +48,16 @@ def make_parallel_branch_step(backbone, bce_module, donate: bool = True,
     """
     base = make_branch_train_step(backbone, bce_module, jit=False, donate=False,
                                   **kwargs)
-    v = jax.vmap(base, in_axes=(0, None, 0, 0, 0, 0, None, 0))
+    # per-client base rng is stacked; the step counter is shared (in_axes
+    # None) — each client folds (its key, step) exactly as the sequential
+    # loop does, so both paths consume identical randomness
+    v = jax.vmap(base, in_axes=(0, None, 0, 0, 0, 0, None, 0, None))
     return jax.jit(v, donate_argnums=(0,) if donate else ())
 
 
 def make_parallel_plain_step(backbone, donate: bool = True, **kwargs) -> Callable:
     base = make_plain_train_step(backbone, jit=False, donate=False, **kwargs)
-    v = jax.vmap(base, in_axes=(0, 0, 0, 0, None, 0))
+    v = jax.vmap(base, in_axes=(0, 0, 0, 0, None, 0, None))
     return jax.jit(v, donate_argnums=(0,) if donate else ())
 
 

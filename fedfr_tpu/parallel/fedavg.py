@@ -20,6 +20,7 @@ from typing import Any, List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.heads import l2_normalize
 
@@ -42,6 +43,36 @@ def fed_weighted_average(stacked: Any, weights: jnp.ndarray) -> Any:
         return jnp.sum(leaf * w.reshape(wshape).astype(leaf.dtype), axis=0)
 
     return jax.tree_util.tree_map(avg, stacked)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _axpy_tree(acc: Any, tree: Any, w: jnp.ndarray) -> Any:
+    return jax.tree_util.tree_map(
+        lambda a, x: a + w.astype(x.dtype) * x, acc, tree)
+
+
+@jax.jit
+def _scale_tree(tree: Any, w: jnp.ndarray) -> Any:
+    return jax.tree_util.tree_map(lambda x: w.astype(x.dtype) * x, tree)
+
+
+def streaming_weighted_average(trees: Sequence[Any], weights) -> Any:
+    """Weighted mean over client states WITHOUT stacking them on device.
+
+    Numerically identical to ``fed_weighted_average(stack_trees(trees), w)``
+    (same left-to-right accumulation in each leaf's dtype) but peak device
+    memory is one client state + the accumulator instead of K states —
+    40 x iresnet200 (~250 MB each) aggregates within a single chip's HBM.
+    Reference math: server.py:25-34.
+    """
+    w = np.asarray(jax.device_get(weights), np.float32)
+    w = w / w.sum()  # f32 normalization, same as fed_weighted_average
+    acc = _scale_tree(jax.tree_util.tree_map(jnp.asarray, trees[0]),
+                      jnp.float32(w[0]))
+    for tree, wi in zip(trees[1:], w[1:]):
+        acc = _axpy_tree(acc, jax.tree_util.tree_map(jnp.asarray, tree),
+                         jnp.float32(wi))
+    return acc
 
 
 def fedavg_on_fc(pretrain_fc: jnp.ndarray, fc_stack: jnp.ndarray,

@@ -54,11 +54,12 @@ def test_plain_training_learns_separation(tmp_path):
 
     loader = BatchLoader(ds, 16, shuffle=True, seed=1, drop_last=True)
     losses = []
+    n_steps = 0
     for epoch in range(60):
         for imgs, lbl, valid in loader.epoch():
-            key, sub = jax.random.split(key)
             state, loss = step(state, jnp.asarray(imgs), jnp.asarray(lbl),
-                               jnp.asarray(valid), 0.05, sub)
+                               jnp.asarray(valid), 0.05, key, n_steps)
+            n_steps += 1
         losses.append(float(loss))
 
     final_vars = jax.device_get(state.backbone)

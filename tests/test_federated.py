@@ -180,6 +180,43 @@ def test_client_parallel_round(fl_root):
         assert c.trained_backbone is not None
 
 
+def test_parallel_round_matches_sequential(fl_root):
+    """The client-parallel round (vmapped lockstep over the mesh client axis)
+    produces the SAME aggregated model as the reference-semantics sequential
+    loop (server.py:283-316) on a config where the wrap-around deviation is
+    inert: uniform per-client dataset sizes (equal epoch lengths), identical
+    per-client loader seeds and rng keys (base key + in-step fold_in)."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg_s = _tiny_cfg(fl_root, spreadout=True)
+    cfg_p = _tiny_cfg(fl_root, spreadout=True)
+    server_s = Server(cfg_s, AllClientData(cfg_s))
+    server_p = Server(cfg_p, AllClientData(cfg_p))
+
+    server_s.train_round()
+    mesh = make_mesh((NUM_CLIENTS, 1, 1), devices=jax.devices()[:NUM_CLIENTS])
+    server_p.train_round_parallel(mesh)
+
+    # equal combined dataset sizes -> equal epoch lengths (deviation inert)
+    assert len({c.dataset_size for c in server_p.clients}) == 1
+
+    # measured max-abs gap is ~3e-8 (one fp32 ulp): the only difference is
+    # vmap-batched vs single-client kernel reduction order
+    for a, b in zip(jax.tree_util.tree_leaves(server_s.federated_vars),
+                    jax.tree_util.tree_leaves(server_p.federated_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(server_s.pretrained_fc, server_p.pretrained_fc,
+                               rtol=1e-6, atol=1e-6)
+    for cs, cp in zip(server_s.clients, server_p.clients):
+        np.testing.assert_allclose(cs.fc_local, cp.fc_local,
+                                   rtol=1e-6, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(cs.bce_vars),
+                        jax.tree_util.tree_leaves(cp.bce_vars)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+
 def test_hard_negative_mask_threshold():
     feats = np.eye(4, dtype=np.float32)
     public = np.concatenate([np.eye(4, dtype=np.float32),

@@ -144,6 +144,26 @@ def test_fed_weighted_average_matches_reference_math():
     np.testing.assert_array_equal(np.asarray(back[1]["w"]), np.asarray(trees[1]["w"]))
 
 
+def test_streaming_fedavg_matches_stacked():
+    """The HBM-bounded incremental aggregation (server production path)
+    equals stack-then-average (reference FedPavg math, server.py:25-34)."""
+    from fedfr_tpu.parallel.fedavg import streaming_weighted_average
+
+    rng = np.random.default_rng(0)
+    trees = [{"w": rng.standard_normal((5, 7)).astype(np.float32),
+              "bn": {"mean": rng.standard_normal(11).astype(np.float32)}}
+             for _ in range(6)]
+    w = np.array([3, 1, 4, 1, 5, 9], np.float32)
+    stacked = fed_weighted_average(
+        stack_trees([jax.tree_util.tree_map(jnp.asarray, t) for t in trees]),
+        jnp.asarray(w))
+    streamed = streaming_weighted_average(trees, w)
+    for a, b in zip(jax.tree_util.tree_leaves(stacked),
+                    jax.tree_util.tree_leaves(streamed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-7, atol=1e-7)
+
+
 def test_fedavg_on_fc_interpolation():
     rng = np.random.default_rng(7)
     pre = jnp.asarray(rng.standard_normal((5, 4), dtype=np.float32))
