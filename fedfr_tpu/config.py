@@ -102,6 +102,11 @@ class FederatedConfig:
     return_all: bool = True             # clients return global-FC shard for FC FedAvg
     reweight_cosface: bool = False
     hn_threshold: float = 0.4           # hard-negative cosine threshold (config.py:28)
+    hn_strategy: str = "feature"        # 'feature': image-feature mining
+                                        # (choose_hard_negative_2, client.py:191-224);
+                                        # 'fc': FC-row mining (choose_hard_negative,
+                                        # client.py:227-267)
+    hn_fc_threshold: float = 0.2        # FC-row mining threshold (client.py:227)
     num_local_eval_clients: int = 10    # clients sampled for per-round local 1:1 eval
     client_parallel: bool = True        # train clients concurrently over the mesh
                                         # 'client' axis instead of sequentially

@@ -21,8 +21,45 @@ from ..data import codec
 from ..ops.kfold import evaluate
 
 
-def load_bin(path: str, image_size: Tuple[int, int] = (112, 112)) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode a .bin pair set -> (N, H, W, 3) uint8 NHWC + (N/2,) issame."""
+_BIN_CACHE_FORMAT = "fedfr_tpu.bin_cache.v1"
+
+
+def _resize_short(img: np.ndarray, size: int) -> np.ndarray:
+    """Resize so the SHORTER side equals ``size``, preserving aspect ratio
+    (reference mx.image.resize_short, eval/verification.py:218-220; mxnet's
+    default interp=2 is bicubic)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    if h <= w:
+        new_h, new_w = size, max(int(round(w * size / h)), 1)
+    else:
+        new_h, new_w = max(int(round(h * size / w)), 1), size
+    return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_CUBIC)
+
+
+def load_bin(path: str, image_size: Tuple[int, int] = (112, 112),
+             use_cache: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode a .bin pair set -> (N, H, W, 3) uint8 NHWC + (N/2,) issame.
+
+    Images whose size differs from ``image_size`` are resize-short'ed like
+    the reference (eval/verification.py:218-220).  The decoded set is cached
+    to ``<path without .bin>.pkl`` (reference verification.py:207-230) so
+    large bins skip the per-image JPEG decode on subsequent startups; a .pkl
+    in an unrecognized format (e.g. the reference's own torch-tensor cache)
+    is ignored and rewritten.
+    """
+    cache_path = path[: -len(".bin")] + ".pkl" if path.endswith(".bin") else path + ".pkl"
+    if use_cache and os.path.exists(cache_path):
+        try:
+            with open(cache_path, "rb") as f:
+                cached = pickle.load(f)
+            if (isinstance(cached, dict)
+                    and cached.get("format") == _BIN_CACHE_FORMAT
+                    and tuple(cached["image_size"]) == tuple(image_size)):
+                return cached["data"], cached["issame"]
+        except Exception:  # corrupt/foreign cache: fall through to decode
+            pass
     with open(path, "rb") as f:
         try:
             bins, issame_list = pickle.load(f)
@@ -33,10 +70,24 @@ def load_bin(path: str, image_size: Tuple[int, int] = (112, 112)) -> Tuple[np.nd
     data = np.empty((n, image_size[0], image_size[1], 3), dtype=np.uint8)
     for i in range(n):
         img = codec.decode(bytes(bins[i]))
-        if img.shape[0] != image_size[0]:
-            raise ValueError("resize-short path not supported; provide aligned bins")
+        if img.shape[:2] != tuple(image_size):
+            img = _resize_short(img, image_size[0])
+            if img.shape[:2] != tuple(image_size):
+                raise ValueError(
+                    f"bin image {i} is {img.shape[:2]} after resize-short; "
+                    f"non-square sources cannot fill {image_size} (the "
+                    f"reference fails on these too, verification.py:214-226)")
         data[i] = img
-    return data, np.asarray(issame_list, dtype=bool)
+    issame = np.asarray(issame_list, dtype=bool)
+    if use_cache:
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump({"format": _BIN_CACHE_FORMAT, "data": data,
+                             "issame": issame, "image_size": tuple(image_size)},
+                            f, pickle.HIGHEST_PROTOCOL)
+        except OSError:  # read-only data dir: cache is best-effort
+            pass
+    return data, issame
 
 
 def test_bin(embed_fn, variables, data: np.ndarray, issame: np.ndarray,

@@ -136,7 +136,11 @@ class Client:
         client-parallel round (server.train_round_parallel).
         """
         cfg = self.cfg
-        if public_feats is not None:
+        if cfg.fed.hn_strategy == "fc":
+            public_subset = self.select_hard_negatives_fc(
+                pretrained_fc, public_dataset, public_labels,
+                threshold=cfg.fed.hn_fc_threshold)
+        elif public_feats is not None:
             public_subset = self.select_hard_negatives(
                 backbone_vars, public_dataset, public_feats, public_labels)
         else:

@@ -177,7 +177,9 @@ class Server:
             self.current_client_list = self.sample_clients()
 
         public_feats = None
-        if cfg.fed.add_pretrained_data:
+        if cfg.fed.add_pretrained_data and cfg.fed.hn_strategy != "fc":
+            # FC-row mining never consumes image features; skip the 420k-img
+            # per-round public embed in that mode
             public_feats = self.generate_public_features()
 
         # adaptive local-epoch schedule (server.py:278-280)
@@ -269,7 +271,9 @@ class Server:
         if not self.current_client_list:
             self.current_client_list = self.sample_clients()
         public_feats = None
-        if cfg.fed.add_pretrained_data:
+        if cfg.fed.add_pretrained_data and cfg.fed.hn_strategy != "fc":
+            # FC-row mining never consumes image features; skip the 420k-img
+            # per-round public embed in that mode
             public_feats = self.generate_public_features()
         if cfg.fed.adaptive_local_epoch and self.global_round != 0:
             self.local_epoch = max(4, self.local_epoch - 2)

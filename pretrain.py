@@ -38,6 +38,10 @@ def main(args):
     from fedfr_tpu.utils.optim import sgd_init, sgd_update
 
     logger = init_logging(args.output_dir, log_name="pretrain.log")
+
+    from fedfr_tpu.utils.snapshot import snapshot_source
+
+    snapshot_source(args.output_dir)  # provenance (reference train.py:50-51)
     mesh = model_mesh()
     n_shards = mesh.shape["model"]
     logger.info("partial-FC over %d model shards", n_shards)

@@ -111,6 +111,7 @@ def _train_args(pipeline_root, tmp, total_round=1, resume=False):
         init_fc=True, add_pretrained_data=True, contrastive_bb=True,
         return_all=True, combine_dataset=True, BCE_local=True, BCE_detach=False,
         adaptive_local_epoch=True, reweight_cosface=False,
+        hn_strategy="feature", HN_threshold=0.4,
         rec_root=out, val_root=os.path.join(pipeline_root, "val"),
         local_rec=os.path.join(out, f"local_veri_{NUM_IDS}"),
         val_targets="agedb_30", num_workers=2, seed=100,
@@ -130,6 +131,10 @@ def test_train_cli_end_to_end(pipeline_root, tmp_path):
 
     out = str(tmp_path / "run1")
     assert os.path.exists(os.path.join(out, "training.log"))
+    # source snapshot for provenance (reference train.py:50-51)
+    assert os.path.exists(os.path.join(out, "code", "train.py"))
+    assert os.path.exists(os.path.join(out, "code", "fedfr_tpu",
+                                       "federated", "server.py"))
     assert os.path.exists(os.path.join(out, "rounds", "round_1.meta.json"))
     # per-round + client checkpoints (toy -> native npz)
     assert os.path.exists(os.path.join(out, "backbone_0.npz"))

@@ -345,6 +345,53 @@ def test_ascii_table_format():
     assert len(set(len(l) for l in lines)) == 1
 
 
+def test_load_bin_resize_short_and_cache(tmp_path):
+    """Non-112 bins go through resize-short (reference verification.py:218-220)
+    and the decoded set is pkl-cached (verification.py:207-230): second load
+    hits the cache and returns identical data."""
+    import pickle
+
+    from fedfr_tpu.data import codec
+    from fedfr_tpu.evalsuite.verification import load_bin
+
+    rng = np.random.default_rng(5)
+    n_pairs = 4
+    bins, issame = [], []
+    for i in range(n_pairs):
+        for _ in range(2):
+            img = rng.integers(0, 255, (100, 100, 3), dtype=np.uint8)
+            bins.append(codec.encode_jpeg(img))
+        issame.append(bool(i % 2))
+    path = str(tmp_path / "small_100.bin")
+    with open(path, "wb") as f:
+        pickle.dump((bins, issame), f)
+
+    data, same = load_bin(path, image_size=(112, 112))
+    assert data.shape == (2 * n_pairs, 112, 112, 3)
+    assert data.dtype == np.uint8
+    np.testing.assert_array_equal(same, np.asarray(issame))
+
+    cache = str(tmp_path / "small_100.pkl")
+    assert os.path.exists(cache)
+    # cache hit: even with the .bin removed, load succeeds and matches
+    os.remove(path)
+    data2, same2 = load_bin(path, image_size=(112, 112))
+    np.testing.assert_array_equal(data2, data)
+    np.testing.assert_array_equal(same2, same)
+
+    # a different target size must not be served from the stale cache
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_bin(path, image_size=(56, 56))
+
+    # foreign/corrupt .pkl is ignored, not trusted
+    with open(cache, "wb") as f:
+        f.write(b"not a pickle")
+    with _pytest.raises(Exception):
+        load_bin(path, image_size=(112, 112))  # falls through to missing .bin
+
+
 def test_bin_embedding_window_semantics():
     """test_bin's final partial batch slides a full-size window ending at N
     (reference verification.py:245-258) — verify rows land correctly."""

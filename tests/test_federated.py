@@ -217,6 +217,52 @@ def test_parallel_round_matches_sequential(fl_root):
                                        rtol=1e-6, atol=1e-6)
 
 
+def test_fc_mining_selection_semantics(fl_root):
+    """FC-row mining matches the reference row-selection math
+    (choose_hard_negative, client.py:227-267): ids = unique columns of
+    (norm(self_fc) @ norm(pretrain_fc).T > thr); surviving imgidx are the
+    1-based positions of public images whose label is a selected id."""
+    import torch
+    import torch.nn.functional as F
+
+    cfg = _tiny_cfg(fl_root)
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+    client = server.clients[0]
+    public_labels = data.public_dataset.all_labels()
+
+    rng = np.random.default_rng(11)
+    client.fc_local = rng.standard_normal(
+        (client.num_classes, cfg.model.embedding_size)).astype(np.float32)
+    pretrain_fc = rng.standard_normal(
+        (5, cfg.model.embedding_size)).astype(np.float32)
+    thr = 0.05
+
+    subset = client.select_hard_negatives_fc(pretrain_fc, data.public_dataset,
+                                             public_labels, threshold=thr)
+
+    sim = torch.matmul(F.normalize(torch.from_numpy(client.fc_local)),
+                       F.normalize(torch.from_numpy(pretrain_fc)).t())
+    ids = torch.unique(torch.where(sim > thr)[1]).numpy()
+    expect_idx = np.asarray(
+        [i + 1 for i in range(len(public_labels)) if public_labels[i] in ids])
+    assert len(ids) > 0  # nontrivial selection for this seed
+    np.testing.assert_array_equal(np.sort(np.asarray(subset.imgidx)),
+                                  np.sort(expect_idx))
+
+
+def test_round_with_fc_mining(fl_root):
+    """hn_strategy='fc' drives a full round end-to-end (and the server skips
+    the public-feature embed that FC mining never consumes)."""
+    cfg = _tiny_cfg(fl_root, hn_strategy="fc", hn_fc_threshold=-1.0)
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+    stats = server.train_round()
+    assert np.isfinite(stats["avg_loss"])
+    for cid in server.current_client_list:
+        assert server.clients[cid].trained_backbone is not None
+
+
 def test_hard_negative_mask_threshold():
     feats = np.eye(4, dtype=np.float32)
     public = np.concatenate([np.eye(4, dtype=np.float32),

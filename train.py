@@ -45,6 +45,8 @@ def build_config(args) -> "FedFRConfig":
     cfg.fed.bce_detach = args.BCE_detach
     cfg.fed.adaptive_local_epoch = args.adaptive_local_epoch
     cfg.fed.reweight_cosface = args.reweight_cosface
+    cfg.fed.hn_strategy = args.hn_strategy
+    cfg.fed.hn_threshold = args.HN_threshold
     cfg.fed.aggr_alg = args.aggr_alg
     cfg.runtime.output_dir = args.output_dir
     cfg.runtime.pretrained_root = args.pretrained_root
@@ -71,6 +73,11 @@ def main(args):
     os.makedirs(cfg.runtime.output_dir, exist_ok=True)
     logger = init_logging(cfg.runtime.output_dir)
     logger.info("config: %s", cfg.to_json())
+
+    # source snapshot for experiment provenance (reference train.py:50-51)
+    from fedfr_tpu.utils.snapshot import snapshot_source
+
+    snapshot_source(cfg.runtime.output_dir)
 
     data = AllClientData(cfg, include_public=cfg.fed.add_pretrained_data)
 
@@ -208,6 +215,13 @@ if __name__ == "__main__":
     parser.add_argument("--BCE_detach", action="store_true")
     parser.add_argument("--adaptive_local_epoch", action="store_true")
     parser.add_argument("--reweight_cosface", action="store_true")
+    parser.add_argument("--hn_strategy", default="feature",
+                        choices=["feature", "fc"],
+                        help="hard-negative mining: image features "
+                             "(choose_hard_negative_2) or FC rows "
+                             "(choose_hard_negative)")
+    parser.add_argument("--HN_threshold", default=0.4, type=float,
+                        help="feature-mining cosine threshold (config.py:28)")
     # paths (the reference hardcodes these in config.py; here they are flags)
     parser.add_argument("--rec_root", default="", help="dataset root")
     parser.add_argument("--val_root", default="", help=".bin verification dir")
