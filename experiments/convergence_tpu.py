@@ -1,0 +1,186 @@
+"""Scaled-down end-to-end convergence experiment on the real TPU.
+
+Drives the FULL CLI chain (split_dataset -> pretrain.py -> train.py ->
+local_all.py) on a synthetic-but-learnable identity dataset and reports the
+per-round AgeDB-style .bin accuracy and the personalized local-TPR
+progression — the miniature version of BASELINE.md's accuracy north-star
+that this rig can run (reference-scale MS1M/IJB-C data is not available
+here).  Results are recorded in DESIGN.md ("Convergence evidence").
+
+Usage:  python experiments/convergence_tpu.py [--work_dir /tmp/conv_exp]
+"""
+
+import argparse
+import json
+import os
+import pickle
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+IMG = 40
+NUM_CLIENTS = 8
+NUM_IDS = 32          # FL pool (4 per client)
+PUB_IDS = 16          # public pretrain pool
+IMGS_PER_ID = 10
+TEST_IMGS = 4
+ROUNDS = 5
+LOCAL_EPOCH = 2
+EMBED = 32
+
+
+def make_identity_image(rng, base, noise=18):
+    """One sample of an identity: coarse 4x4-block base pattern + noise.
+
+    The identity signal lives in channel/texture statistics so the
+    global-avg-pool toy backbone can separate classes.
+    """
+    img = base + rng.integers(-noise, noise + 1, base.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def gen_source(src_dir, total_ids=3 * NUM_IDS, seed=100):
+    sys.path.insert(0, REPO)
+    from fedfr_tpu.data import codec, write_split
+
+    rng = np.random.default_rng(seed)
+    payloads, labels = [], []
+    for pid in range(total_ids):
+        block = rng.integers(30, 226, size=(4, 4, 3))
+        base = np.kron(block, np.ones((IMG // 4, IMG // 4, 1), dtype=np.int64))
+        for _ in range(IMGS_PER_ID):
+            payloads.append(codec.encode_raw(make_identity_image(rng, base)))
+            labels.append(pid)
+    os.makedirs(src_dir, exist_ok=True)
+    write_split(os.path.join(src_dir, "train.idx"),
+                os.path.join(src_dir, "train.rec"),
+                payloads, labels, num_classes=total_ids)
+
+
+def make_bin(out_path, veri_dir, n_pairs=64, seed=3):
+    """AgeDB-style pair bin from the local veri split (half same, half diff)."""
+    sys.path.insert(0, REPO)
+    from fedfr_tpu.data.datasets import FaceRecordDataset
+
+    veri = FaceRecordDataset(veri_dir, prefix="test")
+    lbls = veri.all_labels()
+    rng = np.random.default_rng(seed)
+    by_id = {}
+    for i, l in enumerate(lbls):
+        by_id.setdefault(int(l), []).append(i)
+    bins, issame = [], []
+    ids = sorted(by_id)
+    for p in range(n_pairs):
+        if p % 2 == 0:  # same pair
+            pid = ids[rng.integers(len(ids))]
+            a, b = rng.choice(by_id[pid], size=2, replace=False)
+            issame.append(True)
+        else:
+            p1, p2 = rng.choice(len(ids), size=2, replace=False)
+            a = rng.choice(by_id[ids[p1]])
+            b = rng.choice(by_id[ids[p2]])
+            issame.append(False)
+        bins.append(veri.reader.read_idx(int(veri.imgidx[a]))[1])
+        bins.append(veri.reader.read_idx(int(veri.imgidx[b]))[1])
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "wb") as f:
+        pickle.dump((bins, issame), f)
+
+
+def run(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def parse_progression(run_dir):
+    log = open(os.path.join(run_dir, "training.log")).read()
+    agedb = [(int(m.group(1)), float(m.group(2))) for m in re.finditer(
+        r"\[agedb_30\]\[(\d+)\]Accuracy-Flip: ([0-9.]+)", log)]
+    # local TPR lines: per client, epoch -1 is the pretrain baseline
+    tprs = [(int(m.group(1)), eval(m.group(2))) for m in re.finditer(
+        r"Epoch (-?\d+), TPR \(-1 to -6\) = (\[[^\]]*\])", log)]
+    return agedb, tprs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work_dir", default="/tmp/conv_exp")
+    args = ap.parse_args()
+    w = args.work_dir
+    if os.path.exists(w):
+        shutil.rmtree(w)
+    os.makedirs(w)
+
+    src = os.path.join(w, "src")
+    out = os.path.join(w, "out")
+    pre = os.path.join(w, "pre")
+    run_dir = os.path.join(w, "run")
+
+    gen_source(src)
+    run([sys.executable, "split_dataset/split_FL.py", "--data_dir", src,
+         "--output_dir", out, "--num_client", str(NUM_CLIENTS),
+         "--num_ID", str(NUM_IDS), "--min_imgs", str(IMGS_PER_ID),
+         "--max_imgs", str(IMGS_PER_ID), "--test_imgs", str(TEST_IMGS)])
+    run([sys.executable, "split_dataset/split_pretrain.py", "--data_dir", src,
+         "--output_dir", out, "--num_ID", str(PUB_IDS),
+         "--min_imgs", str(IMGS_PER_ID), "--max_imgs", str(IMGS_PER_ID)])
+    os.rename(os.path.join(out, f"split_pretrain_{PUB_IDS}"),
+              os.path.join(out, "split_pretrain_6000"))
+    veri_dir = os.path.join(out, f"local_veri_{NUM_IDS}")
+    make_bin(os.path.join(w, "val", "agedb_30.bin"), veri_dir)
+
+    run([sys.executable, "pretrain.py",
+         "--data_dir", os.path.join(out, "split_pretrain_6000", "client_0000"),
+         "--output_dir", pre, "--network", "toy",
+         "--embedding_size", str(EMBED), "--image_size", str(IMG),
+         "--batch_size", "16", "--num_epoch", "4", "--lr", "0.05"])
+
+    run([sys.executable, "train.py", "--network", "toy",
+         "--embedding_size", str(EMBED), "--image_size", str(IMG),
+         "--output_dir", run_dir, "--batch_size", "8",
+         "--com_batch_size", "16", "--public_batch_size", "32",
+         "--eval_batch_size", "32", "--local_epoch", str(LOCAL_EPOCH),
+         "--total_round", str(ROUNDS), "--num_client", str(NUM_CLIENTS),
+         "--num_ids", str(NUM_IDS), "--lr", "0.02",
+         "--add_pretrained_data", "--combine_dataset", "--contrastive_bb",
+         "--return_all", "--BCE_local", "--spreadout", "--init_fc",
+         "--pretrained_root", pre, "--rec_root", out,
+         "--local_rec", veri_dir,
+         "--val_root", os.path.join(w, "val"), "--num_workers", "2"])
+
+    run([sys.executable, "local_all.py", "--backbone", "multi", "--task", "1:1",
+         "--ckpt_path", run_dir, "--data_dir", veri_dir,
+         "--gallery_data_dir", os.path.join(out, f"local_gallery_{NUM_IDS}"),
+         "--num_client", str(NUM_CLIENTS), "--num_ids", str(NUM_IDS),
+         "--network", "toy", "--embedding_size", str(EMBED)])
+
+    agedb, tprs = parse_progression(run_dir)
+    baseline = [t for e, t in tprs if e == -1]
+    trained = [t for e, t in tprs if e >= 0]
+    summary = {
+        "agedb_per_round": agedb,
+        "local_tpr_at_1e-1_baseline_mean":
+            round(float(np.mean([t[0] for t in baseline])), 2) if baseline else None,
+        "local_tpr_at_1e-1_trained_mean":
+            round(float(np.mean([t[0] for t in trained[-NUM_CLIENTS:]])), 2)
+            if trained else None,
+        "local_tpr_at_1e-3_baseline_mean":
+            round(float(np.mean([t[2] for t in baseline])), 2) if baseline else None,
+        "local_tpr_at_1e-3_trained_mean":
+            round(float(np.mean([t[2] for t in trained[-NUM_CLIENTS:]])), 2)
+            if trained else None,
+    }
+    print(json.dumps(summary, indent=2))
+    final_local = open(os.path.join(run_dir, "local_log.txt")).read()
+    m = re.search(r"Mean \(-6 to -1\):\n\[([^\]]*)\]", final_local)
+    if m:
+        print("post-hoc local_all mean TPR (-6..-1):", m.group(1))
+
+
+if __name__ == "__main__":
+    main()

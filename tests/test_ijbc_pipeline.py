@@ -11,7 +11,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from fedfr_tpu.evalsuite.ijbc import run_ijbc  # noqa: E402
-from fedfr_tpu.federated.embed import make_embed_fn  # noqa: E402
+from fedfr_tpu.federated.embed import auto_embed_fn  # noqa: E402
 from fedfr_tpu.models import build_backbone  # noqa: E402
 
 
@@ -93,7 +93,7 @@ def test_run_ijbc_both_jobs(ijbc_root, tmp_path):
     backbone = build_backbone("toy", 32)
     variables = backbone.init(jax.random.PRNGKey(0),
                               jnp.zeros((1, 112, 112, 3)), train=False)
-    embed_fn = make_embed_fn(backbone)
+    embed_fn = auto_embed_fn(backbone)  # sharded on the 8-device test mesh
     results = run_ijbc(embed_fn, variables, ijbc_root, str(tmp_path),
                        epoch=3, job="both", batch_size=4)
     assert len(results["tpr_at_fpr"]) == 6
@@ -114,7 +114,7 @@ def test_run_ijbc_uses_cache_second_time(ijbc_root, tmp_path):
     backbone = build_backbone("toy", 32)
     variables = backbone.init(jax.random.PRNGKey(1),
                               jnp.zeros((1, 112, 112, 3)), train=False)
-    embed_fn = make_embed_fn(backbone)
+    embed_fn = auto_embed_fn(backbone)  # sharded on the 8-device test mesh
     results = run_ijbc(embed_fn, variables, ijbc_root, str(tmp_path),
                        epoch=0, job="1:1", batch_size=4)
     assert len(results["tpr_at_fpr"]) == 6
