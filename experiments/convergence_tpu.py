@@ -23,7 +23,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-IMG = 40
+IMG = 112
 NUM_CLIENTS = 8
 NUM_IDS = 32          # FL pool (4 per client)
 PUB_IDS = 16          # public pretrain pool
@@ -31,7 +31,12 @@ IMGS_PER_ID = 10
 TEST_IMGS = 4
 ROUNDS = 5
 LOCAL_EPOCH = 2
-EMBED = 32
+EMBED = 64
+NETWORK = "sphnet20"  # a real (BN-free PReLU) backbone: the toy GAP net
+                      # compresses all pair cosines within the k-fold
+                      # protocol's 0.01 threshold grid, freezing .bin
+                      # accuracy (the reference protocol quantizes the same
+                      # way) — sphere CNNs spread them properly
 
 
 def make_identity_image(rng, base, noise=18):
@@ -108,9 +113,25 @@ def parse_progression(run_dir):
 
 
 def main():
+    global IMG, NUM_CLIENTS, NUM_IDS, ROUNDS
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--work_dir", default="/tmp/conv_exp")
+    ap.add_argument("--network", default=NETWORK)
+    ap.add_argument("--image_size", type=int, default=IMG)
+    ap.add_argument("--num_clients", type=int, default=NUM_CLIENTS)
+    ap.add_argument("--num_ids", type=int, default=NUM_IDS)
+    ap.add_argument("--rounds", type=int, default=ROUNDS)
+    ap.add_argument("--scan_blocks", action="store_true", default=True)
+    ap.add_argument("--lr", default="0.001",
+                    help="federated lr; the reference run.sh uses 0.001 — "
+                         "sphere nets explode at 10x that (margin-softmax "
+                         "norm blowup)")
     args = ap.parse_args()
+    IMG = args.image_size
+    NUM_CLIENTS = args.num_clients
+    NUM_IDS = args.num_ids
+    ROUNDS = args.rounds
     w = args.work_dir
     if os.path.exists(w):
         shutil.rmtree(w)
@@ -136,17 +157,19 @@ def main():
 
     run([sys.executable, "pretrain.py",
          "--data_dir", os.path.join(out, "split_pretrain_6000", "client_0000"),
-         "--output_dir", pre, "--network", "toy",
+         "--output_dir", pre, "--network", args.network,
          "--embedding_size", str(EMBED), "--image_size", str(IMG),
-         "--batch_size", "16", "--num_epoch", "4", "--lr", "0.05"])
+         "--batch_size", "16", "--num_epoch", "2", "--lr", "0.01",
+         "--scan_blocks"])
 
-    run([sys.executable, "train.py", "--network", "toy",
+    run([sys.executable, "train.py", "--network", args.network,
+         "--scan_blocks",
          "--embedding_size", str(EMBED), "--image_size", str(IMG),
          "--output_dir", run_dir, "--batch_size", "8",
          "--com_batch_size", "16", "--public_batch_size", "32",
          "--eval_batch_size", "32", "--local_epoch", str(LOCAL_EPOCH),
          "--total_round", str(ROUNDS), "--num_client", str(NUM_CLIENTS),
-         "--num_ids", str(NUM_IDS), "--lr", "0.02",
+         "--num_ids", str(NUM_IDS), "--lr", args.lr,
          "--add_pretrained_data", "--combine_dataset", "--contrastive_bb",
          "--return_all", "--BCE_local", "--spreadout", "--init_fc",
          "--pretrained_root", pre, "--rec_root", out,
@@ -157,7 +180,7 @@ def main():
          "--ckpt_path", run_dir, "--data_dir", veri_dir,
          "--gallery_data_dir", os.path.join(out, f"local_gallery_{NUM_IDS}"),
          "--num_client", str(NUM_CLIENTS), "--num_ids", str(NUM_IDS),
-         "--network", "toy", "--embedding_size", str(EMBED)])
+         "--network", args.network, "--embedding_size", str(EMBED)])
 
     agedb, tprs = parse_progression(run_dir)
     baseline = [t for e, t in tprs if e == -1]

@@ -105,8 +105,27 @@ def main(args):
     opt = sgd_init(params)
     wopt = sgd_init(weight)
 
+    # round-level resume incl. FC weight + BOTH momentum buffers (parity
+    # with PartialFC's weight/weight_mom resume, partial_fc.py:41-54)
+    from fedfr_tpu.utils.checkpoint import load_native
+
+    state_path = os.path.join(args.output_dir, "pretrain_state.npz")
+    start_epoch = 0
+    if args.resume and os.path.exists(state_path):
+        from fedfr_tpu.utils.optim import SGDState
+
+        st = load_native(state_path)
+        params, weight = st["params"], jnp.asarray(st["weight"])
+        opt = SGDState(st["opt_momentum"])
+        wopt = SGDState(jnp.asarray(st["wopt_momentum"]))
+        batch_stats = st.get("batch_stats")
+        start_epoch = int(np.asarray(st["epoch"])) + 1
+        logger.info("resumed pretraining at epoch %d", start_epoch)
+
     batch_sharding = NamedSharding(mesh, P("model"))
     weight = jax.device_put(weight, batch_sharding)
+    wopt = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), batch_sharding), wopt)
 
     milestones = [int(m) for m in args.lr_steps.split(",") if m]
     loader = DevicePrefetcher(
@@ -116,8 +135,8 @@ def main(args):
     total_step = args.num_epoch * len(loader.loader)
     tlog = ThroughputLogger(args.log_every, total_step, args.batch_size, logger)
     rng = jax.random.PRNGKey(args.seed + 7)
-    gstep = 0
-    for epoch in range(args.num_epoch):
+    gstep = start_epoch * len(loader.loader)
+    for epoch in range(start_epoch, args.num_epoch):
         lr = args.lr * (0.1 ** sum(1 for m in milestones if m - 1 <= epoch))
         for u8, labels, valid in loader.epoch():
             rng, sub = jax.random.split(rng)
@@ -147,6 +166,14 @@ def main(args):
         torch_interop.save_pth(
             torch.from_numpy(labels_all.astype(np.int64)),
             os.path.join(args.output_dir, "preCos_pretrain_labels.pth"))
+        state = {"params": jax.device_get(params),
+                 "weight": jax.device_get(weight),
+                 "opt_momentum": jax.device_get(opt.momentum),
+                 "wopt_momentum": jax.device_get(wopt.momentum),
+                 "epoch": np.int64(epoch)}
+        if batch_stats is not None:
+            state["batch_stats"] = jax.device_get(batch_stats)
+        save_native(state, state_path)
     logger.info("pretraining done")
 
 
@@ -172,4 +199,7 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=100)
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--scan_blocks", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from pretrain_state.npz (weight + "
+                             "momentum, PartialFC partial_fc.py:41-54 parity)")
     main(parser.parse_args())

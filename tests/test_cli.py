@@ -287,7 +287,7 @@ def test_pretrain_then_train_chain(pipeline_root, tmp_path):
         embedding_size=16, image_size=IMG, batch_size=8, num_epoch=1, lr=0.05,
         lr_steps="1", scale=30.0, margin=0.4, momentum=0.9, weight_decay=5e-4,
         sample_rate=1.0, num_workers=2, log_every=2, seed=100, fp32=True,
-        scan_blocks=False)
+        scan_blocks=False, resume=False)
     pre_cli.main(pre_args)
     assert os.path.exists(pre_out / "backbone.npz")
     assert os.path.exists(pre_out / "fc.pth")

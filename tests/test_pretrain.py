@@ -31,7 +31,8 @@ def _args(public_root, outdir, sample_rate=1.0):
         loss="CosFace", embedding_size=16, image_size=24, batch_size=16,
         num_epoch=2, lr=0.05, lr_steps="1", scale=30.0, margin=0.4,
         momentum=0.9, weight_decay=5e-4, sample_rate=sample_rate,
-        num_workers=2, log_every=2, seed=100, fp32=True, scan_blocks=False)
+        num_workers=2, log_every=2, seed=100, fp32=True, scan_blocks=False,
+        resume=False)
 
 
 def test_pretrain_full_softmax(public_root, tmp_path):
@@ -59,3 +60,29 @@ def test_pretrain_sampled_negatives(public_root, tmp_path):
     out.mkdir()
     cli.main(_args(public_root, out, sample_rate=0.5))
     assert os.path.exists(out / "fc.pth")
+
+
+def test_pretrain_resume(public_root, tmp_path):
+    """--resume restores FC weight + BOTH momentum buffers and continues
+    from the next epoch (PartialFC partial_fc.py:41-54 parity)."""
+    import pretrain as cli
+
+    from fedfr_tpu.utils.checkpoint import load_native
+
+    out = tmp_path / "pre_resume"
+    out.mkdir()
+    cli.main(_args(public_root, out))
+    st = load_native(str(out / "pretrain_state.npz"))
+    assert int(np.asarray(st["epoch"])) == 1
+    w_before = np.asarray(st["weight"]).copy()
+    assert "wopt_momentum" in st and "opt_momentum" in st  # momentum persisted
+
+    args = _args(public_root, out)
+    args.resume = True
+    args.num_epoch = 3  # continue exactly one more epoch
+    cli.main(args)
+    log = open(out / "pretrain.log").read()
+    assert "resumed pretraining at epoch 2" in log
+    st2 = load_native(str(out / "pretrain_state.npz"))
+    assert int(np.asarray(st2["epoch"])) == 2
+    assert not np.allclose(np.asarray(st2["weight"]), w_before)
