@@ -85,9 +85,12 @@ def bench_embed(jax, jnp, backbone, variables, normalize_images,
 
     t0 = time.perf_counter()
     outs = [compiled(variables, b) for b in batches]
-    got = [np.asarray(o[:1]) for o in outs]
+    # single completion barrier: the device executes dispatches in order, so
+    # fetching one row of the LAST output awaits them all — per-iteration
+    # fetches would add one tunnel round-trip each and deflate throughput
+    got = np.asarray(outs[-1][:1])
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(g).all() for g in got)
+    assert np.isfinite(got).all()
     ips = batch * iters / dt
     return ips, flops / batch
 

@@ -40,12 +40,21 @@ NETWORK = "sphnet20"  # a real (BN-free PReLU) backbone: the toy GAP net
 
 
 def make_identity_image(rng, base, noise=18):
-    """One sample of an identity: coarse 4x4-block base pattern + noise.
+    """One sample of an identity: coarse 4x4-block base pattern + noise +
+    per-image nuisance (brightness/contrast jitter, spatial shift).
 
-    The identity signal lives in channel/texture statistics so the
-    global-avg-pool toy backbone can separate classes.
+    The nuisance factors keep the UNADAPTED baseline mid-range (a backbone
+    pretrained on other identities does not trivially solve the task), so
+    federated training has measurable room to improve — without them every
+    pair cosine saturates near 1 and the improvement signal vanishes.
     """
     img = base + rng.integers(-noise, noise + 1, base.shape)
+    scale = 0.55 + 0.9 * rng.random()          # contrast jitter
+    offset = rng.integers(-35, 36)             # brightness jitter
+    img = img.astype(np.float64) * scale + offset
+    h = base.shape[0]
+    dy, dx = rng.integers(-h // 4, h // 4 + 1, 2)  # spatial shift
+    img = np.roll(img, (int(dy), int(dx)), axis=(0, 1))
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

@@ -9,7 +9,7 @@ rows of the final batch are discarded after the forward.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

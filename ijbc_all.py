@@ -5,7 +5,6 @@
 """
 
 import argparse
-import os
 
 
 def load_backbone_variables(network: str, path: str, embedding_size: int = 512):

@@ -16,7 +16,6 @@ import numpy as np
 def main(args):
     from fedfr_tpu.data.datasets import FaceRecordDataset
     from fedfr_tpu.evalsuite.local_eval import (
-        append_local_log,
         client_query_mask,
         local_11_roc,
         mean_tpr_tables,

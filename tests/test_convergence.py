@@ -2,8 +2,6 @@
 
 import argparse
 import os
-import pickle
-import re
 import sys
 
 import numpy as np

@@ -4,7 +4,6 @@ import os
 import pickle
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

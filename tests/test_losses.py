@@ -1,7 +1,6 @@
 """Margin/loss parity tests against the reference torch implementations."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F

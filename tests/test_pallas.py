@@ -1,7 +1,6 @@
 """Pallas kernel tests (interpret mode on the CPU test mesh)."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from fedfr_tpu.ops.pallas_kernels import max_cosine_similarity
 

@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from fedfr_tpu.models.heads import l2_normalize
 from fedfr_tpu.ops import cosface, softmax_cross_entropy

@@ -12,7 +12,6 @@ branch, contrastive — in one shot.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 import torch
 import torch.nn.functional as F
 

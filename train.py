@@ -60,8 +60,6 @@ def build_config(args) -> "FedFRConfig":
 
 
 def main(args):
-    import numpy as np
-
     from fedfr_tpu.data.datasets import AllClientData, FaceRecordDataset
     from fedfr_tpu.evalsuite.verification import BinVerificationCallback
     from fedfr_tpu.federated import Server
