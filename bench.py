@@ -15,9 +15,10 @@ run.sh:2), bf16 trunk:
 
 The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 NOT a cross-rig guess: it is achieved model FLOPs / chip peak FLOPs (MFU)
-against a first-principles speed-of-light denominator — model FLOPs taken
-from XLA's own cost analysis of the compiled program, peak from the chip's
-bf16 spec.  1.0 would mean running at the hardware roofline.
+against a first-principles speed-of-light denominator — model FLOPs counted
+by walking the traced jaxpr (utils/flops.py; scan-trip-count aware, unlike
+XLA's executable cost_analysis), peak from the chip's bf16 spec.  1.0 would
+mean running at the hardware roofline.
 """
 
 import json
@@ -46,13 +47,18 @@ def _peak_flops(device) -> float:
     return DEFAULT_PEAK
 
 
-def _flops_per_call(compiled) -> float:
+def _flops_per_call(fn, *example_args) -> float:
+    """Model FLOPs by jaxpr walk (utils/flops.py).
+
+    NOT the executable's cost_analysis(): XLA counts a lax.scan body once
+    instead of times its trip count, under-reporting scan-rolled models ~6x
+    (measured: 2.06 vs 12.7 GFLOP/img for sphere64) and overstating
+    headroom by the same factor.
+    """
+    from fedfr_tpu.utils.flops import count_flops
+
     try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):  # older jax returns [dict]
-            ca = ca[0]
-        f = float(ca.get("flops", -1.0))
-        return f if f > 0 else float("nan")
+        return count_flops(fn, *example_args)
     except Exception:
         return float("nan")
 
@@ -64,7 +70,7 @@ def bench_embed(jax, jnp, backbone, variables, normalize_images,
 
     example = jax.ShapeDtypeStruct((batch, 112, 112, 3), jnp.uint8)
     compiled = jax.jit(embed).lower(variables, example).compile()
-    flops = _flops_per_call(compiled)
+    flops = _flops_per_call(embed, variables, example)
 
     # distinct inputs per iteration (identical dispatches can be served from
     # an execution cache on some PJRT transports), generated on device so the
@@ -158,7 +164,8 @@ def bench_train_step(jax, jnp, iters: int = 4):
     compiled = jax.jit(step, donate_argnums=(0,)).lower(
         shp(state), shp(bvars), shp(bvars), img_s, lbl_s, val_s, lr_s,
         key_s, step_s).compile()
-    flops = _flops_per_call(compiled)
+    flops = _flops_per_call(step, shp(state), shp(bvars), shp(bvars), img_s,
+                            lbl_s, val_s, lr_s, key_s, step_s)
 
     @jax.jit
     def make_inputs(key):

@@ -49,11 +49,11 @@ def make_identity_image(rng, base, noise=18):
     pair cosine saturates near 1 and the improvement signal vanishes.
     """
     img = base + rng.integers(-noise, noise + 1, base.shape)
-    scale = 0.55 + 0.9 * rng.random()          # contrast jitter
-    offset = rng.integers(-35, 36)             # brightness jitter
+    scale = 0.75 + 0.5 * rng.random()          # contrast jitter
+    offset = rng.integers(-20, 21)             # brightness jitter
     img = img.astype(np.float64) * scale + offset
     h = base.shape[0]
-    dy, dx = rng.integers(-h // 4, h // 4 + 1, 2)  # spatial shift
+    dy, dx = rng.integers(-h // 8, h // 8 + 1, 2)  # spatial shift
     img = np.roll(img, (int(dy), int(dx)), axis=(0, 1))
     return np.clip(img, 0, 255).astype(np.uint8)
 
@@ -132,6 +132,8 @@ def main():
     ap.add_argument("--num_ids", type=int, default=NUM_IDS)
     ap.add_argument("--rounds", type=int, default=ROUNDS)
     ap.add_argument("--scan_blocks", action="store_true", default=True)
+    ap.add_argument("--local_epoch", type=int, default=LOCAL_EPOCH)
+    ap.add_argument("--pretrain_epochs", type=int, default=4)
     ap.add_argument("--lr", default="0.001",
                     help="federated lr; the reference run.sh uses 0.001 — "
                          "sphere nets explode at 10x that (margin-softmax "
@@ -168,15 +170,15 @@ def main():
          "--data_dir", os.path.join(out, "split_pretrain_6000", "client_0000"),
          "--output_dir", pre, "--network", args.network,
          "--embedding_size", str(EMBED), "--image_size", str(IMG),
-         "--batch_size", "16", "--num_epoch", "2", "--lr", "0.01",
-         "--scan_blocks"])
+         "--batch_size", "16", "--num_epoch", str(args.pretrain_epochs),
+         "--lr", "0.01", "--scan_blocks"])
 
     run([sys.executable, "train.py", "--network", args.network,
          "--scan_blocks",
          "--embedding_size", str(EMBED), "--image_size", str(IMG),
          "--output_dir", run_dir, "--batch_size", "8",
          "--com_batch_size", "16", "--public_batch_size", "32",
-         "--eval_batch_size", "32", "--local_epoch", str(LOCAL_EPOCH),
+         "--eval_batch_size", "32", "--local_epoch", str(args.local_epoch),
          "--total_round", str(ROUNDS), "--num_client", str(NUM_CLIENTS),
          "--num_ids", str(NUM_IDS), "--lr", args.lr,
          "--add_pretrained_data", "--combine_dataset", "--contrastive_bb",
