@@ -119,17 +119,27 @@ def _train_args(pipeline_root, tmp, total_round=1, resume=False):
         com_batch_size=8, public_batch_size=16, eval_batch_size=16)
 
 
-def test_train_cli_end_to_end(pipeline_root, tmp_path):
+@pytest.fixture(scope="module")
+def trained_run(pipeline_root, tmp_path_factory):
+    """One-round trained output dir, shared by the CLI consumers below
+    (training the toy pipeline costs ~20 s; no test mutates the dir)."""
     import train as train_cli
 
-    # shrink batches to the tiny dataset
-    args = _train_args(pipeline_root, tmp_path / "run1", total_round=1)
+    outdir = tmp_path_factory.mktemp("trained") / "run"
+    train_cli.main(_train_args(pipeline_root, outdir, total_round=1))
+    return str(outdir)
+
+
+def test_train_cli_end_to_end(pipeline_root, trained_run):
+    import train as train_cli
+
+    # config plumbing sanity
+    args = _train_args(pipeline_root, trained_run, total_round=1)
     cfg = train_cli.build_config(args)
     assert cfg.model.network == "toy"
     assert cfg.data.combined_batch_size == 8
-    train_cli.main(args)
 
-    out = str(tmp_path / "run1")
+    out = trained_run
     assert os.path.exists(os.path.join(out, "training.log"))
     # source snapshot for provenance (reference train.py:50-51)
     assert os.path.exists(os.path.join(out, "code", "train.py"))
@@ -161,13 +171,9 @@ def test_train_cli_resume(pipeline_root, tmp_path):
     assert os.path.exists(os.path.join(outdir, "rounds", "round_2.meta.json"))
 
 
-def test_local_all_cli(pipeline_root, tmp_path):
+def test_local_all_cli(pipeline_root, trained_run, tmp_path):
     """Post-hoc personalized 1:1 + 1:n over trained client checkpoints."""
-    import train as train_cli
-
-    outdir = tmp_path / "run3"
-    train_cli.main(_train_args(pipeline_root, outdir, total_round=1))
-
+    outdir = trained_run
     out = os.path.join(pipeline_root, "ms1m_split")
     ids_per_client = NUM_IDS // NUM_CLIENTS
 
@@ -198,7 +204,7 @@ def test_local_all_cli(pipeline_root, tmp_path):
     assert len(res) == 2
 
 
-def test_local_all_cli_multidevice(pipeline_root, tmp_path):
+def test_local_all_cli_multidevice(pipeline_root, trained_run, tmp_path):
     """Drive the REAL local_all.py main() end-to-end on the 8-device mesh:
     embedding goes through make_sharded_embed_fn and the 1:1 ROC through
     pairwise_roc_histogram_sharded (production multi-device wiring —
@@ -206,12 +212,13 @@ def test_local_all_cli_multidevice(pipeline_root, tmp_path):
     import jax
 
     import local_all
-    import train as train_cli
 
     assert jax.device_count() >= 8  # conftest virtual mesh
 
     outdir = tmp_path / "run_md"
-    train_cli.main(_train_args(pipeline_root, outdir, total_round=1))
+    import shutil
+
+    shutil.copytree(trained_run, outdir)  # local_all appends to its logs
 
     out = os.path.join(pipeline_root, "ms1m_split")
     ns = argparse.Namespace(
