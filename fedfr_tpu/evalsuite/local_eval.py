@@ -133,13 +133,18 @@ class LocalVerificationCallback:
             return None
         from ..federated.embed import embed_dataset
 
+        # features stay on device end-to-end: embedding -> reorder ->
+        # histogram kernel (320 MB per client at reference scale never
+        # round-trips the host)
         if bce_params is not None:
             feats, labels = embed_dataset(self.embed_fn, backbone_vars,
                                           self.dataset, self.batch_size,
-                                          bce_params=bce_params)
+                                          bce_params=bce_params,
+                                          return_device=True)
         else:
             feats, labels = embed_dataset(self.plain_embed_fn, backbone_vars,
-                                          self.dataset, self.batch_size)
+                                          self.dataset, self.batch_size,
+                                          return_device=True)
         client_dir = os.path.join(self.output_dir, "clients",
                                   f"client_{client_id}")
         table = local_11_roc(feats, labels, id_list[0], id_list[-1] + 1,

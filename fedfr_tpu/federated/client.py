@@ -164,6 +164,12 @@ class Client:
 
     def finalize_local_run(self, state, avg_loss: float) -> None:
         """Persist the trained state on host (client.py:468-508)."""
+        if not np.isfinite(avg_loss):
+            logger.warning(
+                "client %d: NON-FINITE loss %r — the local run diverged and "
+                "FedAvg will propagate it to the global model (sphere nets "
+                "typically need lr <= 0.001, reference run.sh:2)",
+                self.cid, avg_loss)
         state = jax.device_get(state)
         fc_np = np.asarray(state.fc)
         self.fc_local = fc_np[: self.num_classes]

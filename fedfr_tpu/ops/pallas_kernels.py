@@ -90,6 +90,128 @@ def max_cosine_similarity(public_feats, local_feats, tile_p: int = 512,
     return out[:np_, 0]
 
 
+def _roc_hist_kernel(fi_ref, li_ref, ti_ref, gi_ref, fj_ref, lj_ref, rj_ref,
+                     gj_ref, out_ref, scratch_ref, *, bins: int, chunk: int):
+    """Fused all-pairs cosine ROC histogram block.
+
+    Per (i, j) grid step: one MXU similarity tile (TI x TJ), arithmetic
+    binning into ``idx*2 + is_neg`` (dead bucket 2*bins for invalid pairs),
+    then MXU bincount — the combined index is radix-split into
+    (coarse=32, fine=128) one-hots built IN VMEM and counted with one
+    (32 x P_chunk)@(P_chunk x 128) matmul per chunk, f32-exact (each chunk
+    holds ``chunk`` <= 2^24 pairs).  Nothing but the (32, 128) int32 count
+    block ever leaves VMEM: no atomics (vs roc_cuda.py:26-28's
+    cuda.atomic.add), no sorted intermediates, no HBM one-hots (the XLA
+    formulations pay ~1 GB of HBM traffic per tile for these).
+    """
+    sim = jnp.dot(fi_ref[:], fj_ref[:].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    idx = jnp.clip(((sim + 1.0) * 1000.0).astype(jnp.int32), 0, bins - 1)
+    li = li_ref[:]          # (TI, 1)
+    lj = lj_ref[:]          # (TJ, 1)
+    is_neg = (li != lj.reshape(1, -1)).astype(jnp.int32)
+    valid = ((gi_ref[:] < gj_ref[:].reshape(1, -1))
+             & (ti_ref[:] > 0) & (rj_ref[:].reshape(1, -1) > 0))
+    combined = jnp.where(valid, idx * 2 + is_neg, 2 * bins)
+
+    fine = 64
+    coarse = 64  # 64*64 = 4096 >= 2*2001+1; the square split minimizes the
+                 # per-pair one-hot compares (coarse+fine) that bound the VPU
+    # Mosaic has no dynamic_slice on VALUES; stage the combined indices in a
+    # VMEM scratch ref and slice the REF per chunk instead
+    n_chunks = combined.size // chunk
+    scratch_ref[:] = combined.reshape(n_chunks, chunk)
+
+    def chunk_body(c, acc):
+        seg = scratch_ref[pl.dslice(c, 1), :].reshape(chunk, 1)
+        # power-of-two radix digits via shift/mask (int div lowers slowly)
+        hi = (jax.lax.shift_right_logical(seg, 6)
+              == jax.lax.broadcasted_iota(jnp.int32, (chunk, coarse), 1))
+        lo = ((seg & (fine - 1))
+              == jax.lax.broadcasted_iota(jnp.int32, (chunk, fine), 1))
+        counts = jnp.dot(hi.astype(jnp.bfloat16).T, lo.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return acc + counts
+
+    acc = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                            jnp.zeros((coarse, fine), jnp.float32))
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        out_ref[:] = acc.astype(jnp.int32)
+
+    @pl.when((pl.program_id(0) > 0) | (pl.program_id(1) > 0))
+    def _acc():
+        out_ref[:] = out_ref[:] + acc.astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_i", "tile_i", "tile_j", "bins",
+                                    "interpret"))
+def _roc_hist_padded(feats, labels, tmask, rmask, gidx, *, num_i: int,
+                     tile_i: int, tile_j: int, bins: int,
+                     interpret: bool = False):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, e = feats.shape
+    grid = (num_i, n // tile_j)
+    chunk = min(8192, tile_i * tile_j)
+    out = pl.pallas_call(
+        functools.partial(_roc_hist_kernel, bins=bins, chunk=chunk),
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        scratch_shapes=[pltpu.VMEM((tile_i * tile_j // chunk, chunk),
+                                   jnp.int32)],
+        in_specs=[
+            pl.BlockSpec((tile_i, e), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_j, e), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((64, 64), lambda i, j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((64, 64), jnp.int32),
+        interpret=interpret,
+    )(feats, labels, tmask, gidx, feats, labels, rmask, gidx)
+    return out
+
+
+def roc_histogram(feats, labels, target_size: int, tile_i: int = 512,
+                  tile_j: int = 1024, bins: int = 2001,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Fused Pallas ROC histogram: (N, E) l2-normed feats (target rows
+    first), int labels -> (2*bins,) interleaved [pos, neg] pair counts.
+
+    Semantics identical to ops/roc_histogram._tiled_histogram_scan (the
+    CUDA kernel contract, roc_cuda.py:14-28): pairs (i, j) with
+    global_i < global_j, i a target row, both rows real.
+    """
+    feats = jnp.asarray(feats, jnp.float32)
+    n, e = feats.shape
+    tile_i = min(tile_i, n)
+    tile_j = min(tile_j, n)
+    import math
+
+    step = math.lcm(tile_i, tile_j)
+    npad = ((n + step - 1) // step) * step
+    labels = jnp.asarray(labels, jnp.int32)
+    if npad > n:
+        feats = jnp.concatenate([feats, jnp.zeros((npad - n, e), jnp.float32)])
+        labels = jnp.concatenate([labels, jnp.full(npad - n, -12345, jnp.int32)])
+    gidx = jnp.arange(npad, dtype=jnp.int32).reshape(-1, 1)
+    tmask = (gidx < target_size).astype(jnp.int32)
+    rmask = (gidx < n).astype(jnp.int32)
+    num_i = (min(target_size, n) + tile_i - 1) // tile_i
+    out = _roc_hist_padded(feats, labels.reshape(-1, 1), tmask, rmask, gidx,
+                           num_i=num_i, tile_i=tile_i, tile_j=tile_j,
+                           bins=bins, interpret=interpret)
+    return out.reshape(-1)[: 2 * bins]
+
+
 def pallas_available() -> bool:
     """True when running on a real TPU backend (Mosaic path)."""
     try:

@@ -138,6 +138,27 @@ def test_pairwise_histogram_matches_bruteforce():
     np.testing.assert_array_equal(hist, brute)
 
 
+def test_histogram_binning_modes_agree():
+    """The MXU matmul bincount (radix one-hot + A^T B, integer-exact in
+    f32 accumulation) equals the sort-based bincount, including the chunked
+    path and a degenerate all-one-bucket input."""
+    import jax
+
+    from fedfr_tpu.ops.roc_histogram import _count_matmul, _count_sort
+
+    rng = np.random.default_rng(3)
+    bins = 2001
+    for combined in [
+        rng.integers(0, 2 * bins + 1, size=(97, 53)).astype(np.int32),
+        np.full((64, 64), 7, np.int32),        # all pairs in one bucket
+        np.full((8, 8), 2 * bins, np.int32),   # all pairs dead/invalid
+    ]:
+        a = np.asarray(jax.jit(lambda c: _count_matmul(c, bins))(combined))
+        b = np.asarray(jax.jit(lambda c: _count_sort(c, bins))(combined))
+        np.testing.assert_array_equal(a, b)
+        assert a.sum() == (combined != 2 * bins).sum()
+
+
 def test_sharded_histogram_matches_single_device():
     """j-rows sharded over 8 virtual devices + psum == single-device result."""
     from fedfr_tpu.ops.roc_histogram import pairwise_roc_histogram_sharded

@@ -29,3 +29,22 @@ def test_max_cosine_similarity_padding_neutral():
     assert out.shape == (130,)
     expect = (pub @ loc.T).max(axis=1)
     np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_roc_histogram_kernel_matches_xla():
+    """Fused Pallas ROC histogram (interpret mode) == XLA tiled scan,
+    including padding, target masking, and the dead-bucket guard."""
+    from fedfr_tpu.ops.pallas_kernels import roc_histogram
+    from fedfr_tpu.ops.roc_histogram import pairwise_roc_histogram_device
+
+    rng = np.random.default_rng(0)
+    for n, ts in [(100, 37), (64, 64), (50, 3)]:
+        f = rng.standard_normal((n, 16)).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        l = rng.integers(0, 7, n).astype(np.int32)
+        a = np.asarray(roc_histogram(f, l, ts, tile_i=16, tile_j=32,
+                                     interpret=True))
+        b = np.asarray(pairwise_roc_histogram_device(
+            f, l, ts, tile_i=16, tile_j=32))
+        np.testing.assert_array_equal(a, b)
+        assert a.sum() == ts * n - ts * (ts + 1) // 2 if ts <= n else True
