@@ -146,17 +146,25 @@ def _roc_hist_kernel(fi_ref, li_ref, ti_ref, gi_ref, fj_ref, lj_ref, rj_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_i", "tile_i", "tile_j", "bins",
-                                    "interpret"))
-def _roc_hist_padded(feats, labels, tmask, rmask, gidx, *, num_i: int,
-                     tile_i: int, tile_j: int, bins: int,
-                     interpret: bool = False):
+                   static_argnames=("tile_i", "tile_j", "bins", "interpret"))
+def roc_histogram_pair(fi, li, ti, gi, fj, lj, rj, gj, *, tile_i: int,
+                       tile_j: int, bins: int = 2001,
+                       interpret: bool = False):
+    """Pallas histogram over an (i-rows, j-rows) pair of row sets.
+
+    ``fi``/``fj`` may be the same array (single-device full scan) or a
+    replicated target block vs a per-device shard (the multi-device
+    shard_map path, replacing roc_cuda.py:89-108's per-GPU fan-out).  All
+    row counts must already be tile multiples; (ti, rj) are the
+    target/real-row masks and (gi, gj) the GLOBAL row indices that order
+    the i<j pair guard.  Returns the (64, 64) radix-laid count block.
+    """
     from jax.experimental.pallas import tpu as pltpu
 
-    n, e = feats.shape
-    grid = (num_i, n // tile_j)
+    e = fi.shape[1]
+    grid = (fi.shape[0] // tile_i, fj.shape[0] // tile_j)
     chunk = min(8192, tile_i * tile_j)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_roc_hist_kernel, bins=bins, chunk=chunk),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
@@ -176,8 +184,7 @@ def _roc_hist_padded(feats, labels, tmask, rmask, gidx, *, num_i: int,
         out_specs=pl.BlockSpec((64, 64), lambda i, j: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((64, 64), jnp.int32),
         interpret=interpret,
-    )(feats, labels, tmask, gidx, feats, labels, rmask, gidx)
-    return out
+    )(fi, li, ti, gi, fj, lj, rj, gj)
 
 
 def roc_histogram(feats, labels, target_size: int, tile_i: int = 512,
@@ -206,9 +213,12 @@ def roc_histogram(feats, labels, target_size: int, tile_i: int = 512,
     tmask = (gidx < target_size).astype(jnp.int32)
     rmask = (gidx < n).astype(jnp.int32)
     num_i = (min(target_size, n) + tile_i - 1) // tile_i
-    out = _roc_hist_padded(feats, labels.reshape(-1, 1), tmask, rmask, gidx,
-                           num_i=num_i, tile_i=tile_i, tile_j=tile_j,
-                           bins=bins, interpret=interpret)
+    labels = labels.reshape(-1, 1)
+    ni = num_i * tile_i
+    out = roc_histogram_pair(
+        feats[:ni], labels[:ni], tmask[:ni], gidx[:ni],
+        feats, labels, rmask, gidx,
+        tile_i=tile_i, tile_j=tile_j, bins=bins, interpret=interpret)
     return out.reshape(-1)[: 2 * bins]
 
 

@@ -145,13 +145,16 @@ def pairwise_roc_histogram_device(feats, labels, target_size: int,
 
 def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
                                    tile_i: int = 4096, tile_j: int = 16384,
-                                   axis: str = "data") -> jnp.ndarray:
+                                   axis: str = "data", use_pallas=None,
+                                   interpret: bool = False) -> jnp.ndarray:
     """Multi-device histogram: j-rows sharded over a mesh axis, partial
     histograms psum'd over ICI.
 
     Replaces the reference's multiprocess per-GPU fan-out (roc_cuda.py:89-108)
     with one sharded dispatch: every device scans the (replicated) target
-    block against its own slice of the verification set.
+    block against its own slice of the verification set.  On TPU meshes each
+    shard runs the fused Pallas kernel (pallas_kernels.roc_histogram_pair);
+    elsewhere the XLA sort-based scan.
     """
     import math
 
@@ -160,8 +163,16 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
 
     n, e = np.shape(feats)
     nd = mesh.shape[axis]
-    tile_i = min(tile_i, n)
-    tile_j = min(tile_j, max(n // nd, 1))
+    if use_pallas is None:
+        from .pallas_kernels import pallas_available
+
+        use_pallas = pallas_available() and e % 128 == 0 and n >= 2048 * nd
+    if use_pallas:
+        tile_i = min(512, tile_i, n)
+        tile_j = min(1024, tile_j, max(n // nd, 1))
+    else:
+        tile_i = min(tile_i, n)
+        tile_j = min(tile_j, max(n // nd, 1))
     step = math.lcm(tile_j * nd, tile_i)
     npad = ((n + step - 1) // step) * step
     num_i = (min(target_size, n) + tile_i - 1) // tile_i
@@ -175,6 +186,25 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
     fi = f[: num_i * tile_i]
     li = l[: num_i * tile_i]
     gi = gidx[: num_i * tile_i]
+
+    if use_pallas:
+        from .pallas_kernels import roc_histogram_pair
+
+        ti = (gi < target_size).astype(jnp.int32)
+
+        def body(fi, li, ti, gi, fj, lj, gj):
+            rj = (gj < n).astype(jnp.int32)
+            out = roc_histogram_pair(
+                fi, li.reshape(-1, 1), ti.reshape(-1, 1), gi.reshape(-1, 1),
+                fj, lj.reshape(-1, 1), rj.reshape(-1, 1), gj.reshape(-1, 1),
+                tile_i=tile_i, tile_j=tile_j, bins=NUM_BINS,
+                interpret=interpret)
+            return jax.lax.psum(out.reshape(-1)[: 2 * NUM_BINS], axis)
+
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis)),
+                       out_specs=P(), check_vma=False)
+        return jax.jit(fn)(fi, li, ti, gi, f, l, gidx)
 
     def body(fi, li, gi, fj, lj, gj):
         hist = _tiled_histogram_scan(fi, li, gi, fj, lj, gj,

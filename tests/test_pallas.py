@@ -48,3 +48,28 @@ def test_roc_histogram_kernel_matches_xla():
             f, l, ts, tile_i=16, tile_j=32))
         np.testing.assert_array_equal(a, b)
         assert a.sum() == ts * n - ts * (ts + 1) // 2 if ts <= n else True
+
+
+def test_sharded_pallas_histogram_matches_xla():
+    """Per-shard Pallas kernel inside shard_map (interpret mode on the
+    8-device CPU mesh) == the XLA sharded scan == the single-device scan."""
+    from fedfr_tpu.ops.roc_histogram import (
+        pairwise_roc_histogram_device,
+        pairwise_roc_histogram_sharded,
+    )
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    n, e, ts = 128, 16, 40
+    f = rng.standard_normal((n, e)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    l = rng.integers(0, 6, n).astype(np.int32)
+    mesh = make_mesh((1, 8, 1))
+    pallas = np.asarray(pairwise_roc_histogram_sharded(
+        mesh, f, l, ts, tile_i=8, tile_j=8, use_pallas=True, interpret=True))
+    xla = np.asarray(pairwise_roc_histogram_sharded(
+        mesh, f, l, ts, tile_i=8, tile_j=8, use_pallas=False))
+    single = np.asarray(pairwise_roc_histogram_device(
+        f, l, ts, tile_i=8, tile_j=16))
+    np.testing.assert_array_equal(pallas, xla)
+    np.testing.assert_array_equal(pallas, single)
