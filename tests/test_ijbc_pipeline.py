@@ -118,3 +118,30 @@ def test_run_ijbc_uses_cache_second_time(ijbc_root, tmp_path):
     results = run_ijbc(embed_fn, variables, ijbc_root, str(tmp_path),
                        epoch=0, job="1:1", batch_size=4)
     assert len(results["tpr_at_fpr"]) == 6
+
+
+def test_ijbc_conti_cli_multi_epoch(ijbc_root, tmp_path):
+    """ijbc_conti drives multiple epoch checkpoints in-process (replacing the
+    reference's os.system loop, ijbc_conti.py:14-23) and appends per-epoch
+    results to the ijbc logs."""
+    import argparse
+
+    import ijbc_conti
+
+    from fedfr_tpu.utils.checkpoint import save_native
+
+    backbone = build_backbone("toy", 16)
+    ckpt_dir = tmp_path / "ckpts"
+    ckpt_dir.mkdir()
+    for e in (0, 1):
+        variables = jax.device_get(backbone.init(
+            jax.random.PRNGKey(e), jnp.zeros((1, 112, 112, 3)), train=False))
+        save_native(variables, str(ckpt_dir / f"backbone_{e}.npz"))
+
+    args = argparse.Namespace(ckpt_dir=str(ckpt_dir), root_path=ijbc_root,
+                              batch_size=8, job="both", epoch=[0, 1],
+                              network="toy", embedding_size=16, gpu=None)
+    ijbc_conti.main(args)
+    log11 = open(ckpt_dir / "ijbc-1:1" / "log.txt").read()
+    assert log11.count("TPR@FPR") >= 2 or log11.count("1e-") >= 2
+    assert os.path.exists(ckpt_dir / "ijbc-1:n" / "log.txt")
