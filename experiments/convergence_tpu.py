@@ -133,12 +133,15 @@ def main():
     ap.add_argument("--rounds", type=int, default=ROUNDS)
     ap.add_argument("--scan_blocks", action="store_true", default=True)
     ap.add_argument("--local_epoch", type=int, default=LOCAL_EPOCH)
+    ap.add_argument("--imgs_per_id", type=int, default=IMGS_PER_ID)
     ap.add_argument("--pretrain_epochs", type=int, default=4)
     ap.add_argument("--lr", default="0.001",
                     help="federated lr; the reference run.sh uses 0.001 — "
                          "sphere nets explode at 10x that (margin-softmax "
                          "norm blowup)")
     args = ap.parse_args()
+    global IMGS_PER_ID
+    IMGS_PER_ID = args.imgs_per_id
     IMG = args.image_size
     NUM_CLIENTS = args.num_clients
     NUM_IDS = args.num_ids

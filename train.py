@@ -235,4 +235,15 @@ if __name__ == "__main__":
                         help="capture an XLA trace of the first round")
     parser.add_argument("--scan_blocks", action="store_true",
                         help="nn.scan repeated backbone blocks (faster compile)")
+    # dead reference flags, accepted as no-ops so verbatim reference
+    # commands run (reference train.py:109-123; --lr_step is "Not actually
+    # used" per train.py:130, the others guard commented-out branches)
+    parser.add_argument("--fedface", action="store_true",
+                        help="no-op (reference dead flag)")
+    parser.add_argument("--BCE_tune", action="store_true",
+                        help="no-op (reference dead flag)")
+    parser.add_argument("--save_fc_iter", type=int, default=40,
+                        help="no-op (reference dead flag)")
+    parser.add_argument("--lr_step", default="1000",
+                        help="no-op (reference dead flag)")
     main(parser.parse_args())
