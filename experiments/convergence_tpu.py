@@ -122,7 +122,7 @@ def parse_progression(run_dir):
 
 
 def main():
-    global IMG, NUM_CLIENTS, NUM_IDS, ROUNDS
+    global IMG, NUM_CLIENTS, NUM_IDS, ROUNDS, IMGS_PER_ID
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--work_dir", default="/tmp/conv_exp")
@@ -140,7 +140,6 @@ def main():
                          "sphere nets explode at 10x that (margin-softmax "
                          "norm blowup)")
     args = ap.parse_args()
-    global IMGS_PER_ID
     IMGS_PER_ID = args.imgs_per_id
     IMG = args.image_size
     NUM_CLIENTS = args.num_clients
