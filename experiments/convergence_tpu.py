@@ -122,11 +122,13 @@ def parse_progression(run_dir):
 
 
 def main():
-    global IMG, NUM_CLIENTS, NUM_IDS, ROUNDS, IMGS_PER_ID
+    global IMG, NUM_CLIENTS, NUM_IDS, ROUNDS, IMGS_PER_ID, EMBED
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--work_dir", default="/tmp/conv_exp")
     ap.add_argument("--network", default=NETWORK)
+    ap.add_argument("--embed", type=int, default=EMBED,
+                    help="embedding size (512 = flagship sphere64 scale)")
     ap.add_argument("--image_size", type=int, default=IMG)
     ap.add_argument("--num_clients", type=int, default=NUM_CLIENTS)
     ap.add_argument("--num_ids", type=int, default=NUM_IDS)
@@ -140,6 +142,7 @@ def main():
                          "sphere nets explode at 10x that (margin-softmax "
                          "norm blowup)")
     args = ap.parse_args()
+    EMBED = args.embed
     IMGS_PER_ID = args.imgs_per_id
     IMG = args.image_size
     NUM_CLIENTS = args.num_clients
