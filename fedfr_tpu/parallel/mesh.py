@@ -22,15 +22,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXES = ("client", "data", "model")
 
 
+def group_by_slice(devices: Sequence, slice_of=None) -> list:
+    """Group devices by TPU slice (the DCN granule), sorted by slice id.
+
+    On a multi-slice deployment each ``jax.Device`` carries a
+    ``slice_index``; everywhere else (single slice, CPU, tests) all devices
+    fall into one group.  ``slice_of`` overrides the grouping key (tests use
+    it to simulate slices on virtual CPU devices).
+    """
+    key = slice_of if slice_of is not None else (
+        lambda d: getattr(d, "slice_index", 0) or 0)
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(key(d), []).append(d)
+    return [groups[k] for k in sorted(groups)]
+
+
 def make_mesh(shape: Optional[Tuple[int, int, int]] = None,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              slice_of=None) -> Mesh:
     """Build a (client, data, model) mesh over the available devices.
 
     Default layout puts every device on the ``client`` axis — the federated
     simulation is embarrassingly parallel and ICI is only needed at
     aggregation time.
+
+    Multi-slice (DCN) deployments: devices are ordered slice-major, so the
+    ``client`` axis decomposes hierarchically — contiguous client groups live
+    on one slice's ICI and only the outer reduction crosses DCN.  FedAvg's
+    one-reduction-per-round pattern is exactly the DCN-friendly shape: XLA
+    lowers the weighted mean over the axis to an intra-slice reduce followed
+    by a cross-slice reduce of the partial sums (SURVEY.md §5 reserves DCN
+    for this).  Single-slice and CPU meshes are unchanged by the ordering.
     """
     devices = list(devices if devices is not None else jax.devices())
+    groups = group_by_slice(devices, slice_of)
+    if len(groups) > 1:
+        sizes = {len(g) for g in groups}
+        if len(sizes) != 1:
+            raise ValueError(
+                f"uneven devices per slice: {[len(g) for g in groups]}; "
+                "the client axis needs a rectangular slice x chip layout")
+        devices = [d for g in groups for d in g]
     n = len(devices)
     if shape is None:
         shape = (n, 1, 1)

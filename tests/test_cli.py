@@ -307,3 +307,24 @@ def test_pretrain_then_train_chain(pipeline_root, tmp_path):
     assert "loaded pretrained backbone" in log
     assert "loaded pretrained perfect FC" in log
     assert "loaded pretrain labels" in log
+
+
+def test_train_flag_surface_covers_reference():
+    """Every flag the reference train.py declares (train.py:94-126) must be
+    accepted here, so verbatim reference commands (run.sh) run unchanged."""
+    import re
+    import subprocess
+
+    ref = os.environ.get("FEDFR_REFERENCE", "/root/reference")
+    ref_train = os.path.join(ref, "train.py")
+    if not os.path.exists(ref_train):
+        pytest.skip("reference not mounted")
+    ref_flags = set(re.findall(r"add_argument\('(--[\w]+)'",
+                               open(ref_train).read()))
+    assert ref_flags, "failed to extract reference flags"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, os.path.join(repo, "train.py"),
+                          "--help"], capture_output=True, text=True,
+                         timeout=120).stdout
+    missing = sorted(f for f in ref_flags if f not in out)
+    assert not missing, f"reference train.py flags not accepted: {missing}"

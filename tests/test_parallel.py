@@ -213,3 +213,42 @@ def test_spreadout_reduces_similarity():
     sim_before = (fcn @ fcn.T)[~np.eye(10, dtype=bool)].mean()
     sim_after = (outn @ outn.T)[~np.eye(10, dtype=bool)].mean()
     assert sim_after < sim_before
+
+
+def test_multislice_mesh_orders_devices_slice_major():
+    """Simulated 2-slice deployment on the 8 virtual CPU devices: the client
+    axis must enumerate slice-major (contiguous client groups per slice) so
+    FedAvg reduces over ICI first and crosses DCN once (mesh.py make_mesh)."""
+    devices = jax.devices()
+    # interleaved slice assignment: even ids -> slice 0, odd ids -> slice 1
+    mesh = make_mesh(slice_of=lambda d: d.id % 2)
+    order = [d.id for d in mesh.devices.reshape(-1)]
+    assert order == [0, 2, 4, 6, 1, 3, 5, 7]
+    assert mesh.shape["client"] == 8
+
+    # the reordered mesh computes the same FedAvg as the plain one
+    from fedfr_tpu.parallel.client_parallel import (
+        parallel_fedavg,
+        shard_stacked_tree,
+    )
+
+    rng = np.random.default_rng(4)
+    stacked = {"w": jnp.asarray(rng.standard_normal((8, 5, 3), np.float32)),
+               "b": jnp.asarray(rng.standard_normal((8, 3), np.float32))}
+    weights = jnp.asarray(rng.random(8).astype(np.float32) + 0.1)
+    expect = fed_weighted_average(stacked, weights)
+
+    with jax.set_mesh(mesh):
+        sharded = shard_stacked_tree(mesh, stacked)
+        got = parallel_fedavg(sharded, shard_stacked_tree(mesh, weights))
+    np.testing.assert_allclose(np.asarray(got["w"]), np.asarray(expect["w"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["b"]), np.asarray(expect["b"]),
+                               rtol=1e-6)
+
+
+def test_multislice_mesh_rejects_uneven_slices():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_mesh(slice_of=lambda d: 0 if d.id < 3 else 1)

@@ -246,4 +246,8 @@ if __name__ == "__main__":
                         help="no-op (reference dead flag)")
     parser.add_argument("--lr_step", default="1000",
                         help="no-op (reference dead flag)")
+    parser.add_argument("--local_rank", type=int, default=0,
+                        help="no-op (reference hardcodes rank 0, train.py:42)")
+    parser.add_argument("--data_ratio", type=float, default=0.5,
+                        help="no-op (reference dead flag, never read)")
     main(parser.parse_args())
