@@ -137,6 +137,10 @@ def main():
     ap.add_argument("--local_epoch", type=int, default=LOCAL_EPOCH)
     ap.add_argument("--imgs_per_id", type=int, default=IMGS_PER_ID)
     ap.add_argument("--pretrain_epochs", type=int, default=4)
+    ap.add_argument("--pretrain_lr", default="0.01",
+                    help="0.01 suits sphnet20/E64; the deeper BN-free "
+                         "sphere64 at E512 explodes feature norms at 0.01 "
+                         "(measured XNorm 1.2e18) — use 0.001 there")
     ap.add_argument("--lr", default="0.001",
                     help="federated lr; the reference run.sh uses 0.001 — "
                          "sphere nets explode at 10x that (margin-softmax "
@@ -176,7 +180,7 @@ def main():
          "--output_dir", pre, "--network", args.network,
          "--embedding_size", str(EMBED), "--image_size", str(IMG),
          "--batch_size", "16", "--num_epoch", str(args.pretrain_epochs),
-         "--lr", "0.01", "--scan_blocks"])
+         "--lr", args.pretrain_lr, "--scan_blocks"])
 
     run([sys.executable, "train.py", "--network", args.network,
          "--scan_blocks",

@@ -5,7 +5,6 @@ from .local_eval import (
     local_11_roc,
     mean_tpr_tables,
     open_set_identification,
-    rank_accuracy,
 )
 from .verification import BinVerificationCallback, load_bin, test_bin
 
@@ -19,7 +18,6 @@ __all__ = [
     "local_11_roc",
     "mean_tpr_tables",
     "open_set_identification",
-    "rank_accuracy",
     "BinVerificationCallback",
     "load_bin",
     "test_bin",

@@ -85,21 +85,29 @@ def image_to_template_features(img_feats: np.ndarray, templates: np.ndarray,
     tmpl = templates[keep]
     med = medias[keep]
 
-    # stage 1: mean over (template, media) groups
-    pair_code = tmpl.astype(np.int64) * (med.max() + 1) + med
-    codes, inverse = np.unique(pair_code, return_inverse=True)
+    # stage 1: mean over (template, media) groups.  Segment sums run as
+    # sort + add.reduceat over the f32 rows (the reference accumulates in
+    # f32 too, ijbc_all.py:242-257): one sequential pass, no np.add.at
+    # unbuffered per-element loop (240M scattered ufunc calls at IJB-C
+    # scale), no f64 blow-up of the 1 GB feature matrix
     dim = feats.shape[1]
-    sums = np.zeros((len(codes), dim), np.float64)
-    counts = np.zeros(len(codes), np.int64)
-    np.add.at(sums, inverse, feats)
-    np.add.at(counts, inverse, 1)
-    media_feats = sums / counts[:, None]
+    pair_code = tmpl.astype(np.int64) * (med.max() + 1) + med
+    order = np.argsort(pair_code, kind="stable")
+    sorted_code = pair_code[order]
+    starts = np.flatnonzero(np.r_[True, sorted_code[1:] != sorted_code[:-1]])
+    codes = sorted_code[starts]
+    counts = np.diff(np.r_[starts, len(sorted_code)])
+    sums = np.add.reduceat(np.asarray(feats, np.float32)[order], starts,
+                           axis=0)
+    media_feats = sums.astype(np.float64) / counts[:, None]
     media_tmpl = (codes // (med.max() + 1)).astype(np.int64)
 
-    # stage 2: sum over each template's medias
+    # stage 2: sum over each template's medias (media_tmpl is sorted because
+    # codes are sorted and the template id is the high part of the code)
     t_index = np.searchsorted(unique_templates, media_tmpl)
     out = np.zeros((len(unique_templates), dim), np.float64)
-    np.add.at(out, t_index, media_feats)
+    seg_starts = np.flatnonzero(np.r_[True, t_index[1:] != t_index[:-1]])
+    out[t_index[seg_starts]] = np.add.reduceat(media_feats, seg_starts, axis=0)
 
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     out = out / np.maximum(norms, 1e-12)
@@ -114,12 +122,15 @@ def pair_scores(template_feats: np.ndarray, unique_templates: np.ndarray,
     """Cosine scores for template pairs, chunked (ijbc_all.py:300-326)."""
     t2id = np.zeros(unique_templates.max() + 1, dtype=np.int64)
     t2id[unique_templates] = np.arange(len(unique_templates))
-    score = np.zeros(len(p1))
+    tf32 = np.ascontiguousarray(template_feats, dtype=np.float32)
+    score = np.zeros(len(p1), np.float32)
     for s in range(0, len(p1), batch):
         e = min(s + batch, len(p1))
-        f1 = template_feats[t2id[p1[s:e]]]
-        f2 = template_feats[t2id[p2[s:e]]]
-        score[s:e] = np.sum(f1 * f2, axis=1)
+        f1 = tf32[t2id[p1[s:e]]]
+        f2 = tf32[t2id[p2[s:e]]]
+        # einsum fuses multiply+reduce (no (batch, dim) product temporary);
+        # f32 gathers halve the traffic — 59 s -> ~14 s at the 15.6M-pair scale
+        score[s:e] = np.einsum("ij,ij->i", f1, f2)
     return score
 
 
@@ -147,11 +158,19 @@ def identification_1n(probe_feats: np.ndarray, gallery_feats: np.ndarray,
     """Open-set 1:n: top-1/5/10 + TPIR@FPIR (ijbc_all.py:367-427)."""
     q = probe_feats.shape[0]
     sim = probe_feats @ gallery_feats.T
-    order = np.argsort(-sim, axis=1)
     mask = np.asarray(mask)
+    # only ranks 1..10 are reported: partial top-k instead of a full
+    # (q, gallery) argsort (ijbc_all.py:407 sorts everything; ~4x faster)
+    kmax = min(10, sim.shape[1])
+    if kmax < sim.shape[1]:
+        part = np.argpartition(-sim, kmax - 1, axis=1)[:, :kmax]
+    else:
+        part = np.broadcast_to(np.arange(kmax), sim.shape).copy()
+    part_order = np.argsort(np.take_along_axis(-sim, part, axis=1), axis=1)
+    order = np.take_along_axis(part, part_order, axis=1)
     rank = {}
     for k in (1, 5, 10):
-        hits = (order[:, :k] == mask[:, None]).any(axis=1)
+        hits = (order[:, :min(k, kmax)] == mask[:, None]).any(axis=1)
         rank[f"top{k}"] = float(hits.mean())
 
     required_topk = [math.ceil(q * x) for x in fars]

@@ -153,14 +153,3 @@ class LocalVerificationCallback:
         return table
 
 
-def rank_accuracy(query_feats: np.ndarray, gallery_feats: np.ndarray,
-                  mask: np.ndarray, ks: Sequence[int] = (1, 5, 10)) -> dict:
-    """Closed-set top-k accuracy (reference ijbc_all.py:379-402 math)."""
-    sim = query_feats @ gallery_feats.T
-    order = np.argsort(-sim, axis=1)
-    out = {}
-    mask = np.asarray(mask)
-    for k in ks:
-        hits = (order[:, :k] == mask[:, None]).any(axis=1)
-        out[f"top{k}"] = float(hits.mean())
-    return out
