@@ -216,6 +216,7 @@ class Client:
             cfg.runtime.seed + 31 * round_seed + self.cid))
         loss_sum = np.zeros(4)
         n_steps = 0
+        cos_trace = []
         for epoch in range(local_epochs):
             lr = step_lr(cfg.optim.lr, epoch, train_decay, cfg.optim.lr_gamma)
             tic = time.time()
@@ -231,11 +232,29 @@ class Client:
             speed = (epoch_steps * cfg.data.combined_batch_size
                      / max(time.time() - tic, 1e-9))
             loss_sum += np.array([m.loss, m.cos_loss, m.bce_loss, m.con_loss])
+            cos_trace.append(float(m.cos_loss))
             logger.info("client %d epoch %d/%d lr %.5f loss %.3f "
                         "(cos %.3f bce %.3f con %.3f) %.1f samples/sec",
                         self.cid, epoch + 1, local_epochs, lr,
                         float(m.loss), float(m.cos_loss), float(m.bce_loss),
                         float(m.con_loss), speed)
+
+        # collapsed-feature diagnostic: with every pair cosine equal (e.g. an
+        # exploded pretrained backbone, XNorm ~1e18), the CosFace CE pins at
+        # s*m + log(C-1) and its gradient cancels — the run silently learns
+        # nothing until fp overflow turns it NaN.  Catch it from the logged
+        # metrics (zero extra compute).
+        if (cfg.loss.loss == "CosFace" and len(cos_trace) >= 2
+                and abs(cos_trace[-1] - cos_trace[0]) < 1e-3):
+            sat = (cfg.loss.margin_s * cfg.loss.margin_m
+                   + float(np.log(max(int(state.fc.shape[0]) - 1, 1))))
+            if abs(cos_trace[-1] - sat) < 0.1:
+                logger.warning(
+                    "client %d: cos loss pinned at the all-equal-cosine "
+                    "saturation value %.3f for %d epochs — features look "
+                    "collapsed; check the pretrained backbone (feature-norm "
+                    "explosion upstream, e.g. too-high pretrain lr)",
+                    self.cid, sat, len(cos_trace))
 
         self.finalize_local_run(state, loss_sum[0] / max(local_epochs, 1))
         return {"loss": self.last_loss, "steps": n_steps,

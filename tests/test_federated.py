@@ -330,3 +330,32 @@ def test_branch_step_with_reweight_and_detach(fl_root):
     server = Server(cfg, data)
     stats = server.train_round()
     assert np.isfinite(stats["avg_loss"])
+
+
+def test_collapsed_feature_warning(fl_root, caplog):
+    """An exploded pretrained backbone pins the CosFace CE at its
+    all-equal-cosine saturation s*m + log(C-1) with zero net gradient; the
+    client must flag it (observed live: sphere64/E512 pretrained at lr 0.01,
+    XNorm 1.2e18, loss frozen at 14.944 for a full round before NaN)."""
+    import logging
+
+    from fedfr_tpu.federated.trainer import StepMetrics
+
+    cfg = _tiny_cfg(fl_root)
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+    client = server.clients[0]
+    n_fc = IDS_PER_CLIENT + 5  # local rows + public FC rows
+    sat = cfg.loss.margin_s * cfg.loss.margin_m + float(np.log(n_fc - 1))
+
+    def pinned_step(state, gvars, lvars, imgs, labels, valid, lr, key, n):
+        z = jnp.zeros(())
+        return state, StepMetrics(jnp.float32(sat), jnp.float32(sat), z, z)
+
+    feats = server.generate_public_features()
+    with caplog.at_level(logging.WARNING, logger="fedfr_tpu.client"):
+        client.train_with_public_data(
+            server.federated_vars, data.public_dataset, server.pretrained_fc,
+            feats, server.pretrained_labels, local_epochs=2, train_decay=8,
+            step_fn=pinned_step)
+    assert any("collapsed" in r.message for r in caplog.records)
