@@ -134,6 +134,93 @@ def pair_scores(template_feats: np.ndarray, unique_templates: np.ndarray,
     return score
 
 
+# ------------------------------------------------- device-resident engine
+
+def image_to_template_features_device(img_feats, templates: np.ndarray,
+                                      medias: np.ndarray,
+                                      choose_templates: Optional[np.ndarray] = None,
+                                      choose_ids: Optional[np.ndarray] = None):
+    """Device-resident media/template aggregation (same math as
+    :func:`image_to_template_features`).
+
+    ``img_feats`` is a device (jax) array that never leaves HBM: the group
+    index arithmetic runs on host (tiny int vectors), the two segment
+    reductions run on device.  Rows outside ``choose_templates`` map to an
+    out-of-range segment id, which ``segment_sum`` drops — shapes stay
+    static.  Replaces the reference's per-template python loop over torch
+    tensors (ijbc_all.py:234-259) with two XLA scatter-adds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if choose_templates is not None:
+        unique_templates, first_idx = np.unique(choose_templates, return_index=True)
+        unique_ids = choose_ids[first_idx] if choose_ids is not None else None
+    else:
+        unique_templates = np.unique(templates)
+        unique_ids = None
+
+    keep = np.isin(templates, unique_templates)
+    med_base = int(medias.max()) + 1
+    pair_code = templates.astype(np.int64) * med_base + medias
+    codes, inverse = np.unique(pair_code[keep], return_inverse=True)
+    n_codes = len(codes)
+    seg1 = np.full(len(templates), n_codes, np.int32)  # dropped by segment_sum
+    seg1[keep] = inverse
+    counts = np.bincount(inverse, minlength=n_codes)
+    media_tmpl = (codes // med_base).astype(np.int64)
+    t_index = np.searchsorted(unique_templates, media_tmpl).astype(np.int32)
+    n_tmpl = len(unique_templates)
+
+    @jax.jit
+    def agg(feats, seg1, counts, t_index):
+        sums = jax.ops.segment_sum(feats.astype(jnp.float32), seg1,
+                                   num_segments=n_codes)
+        media_feats = sums / counts[:, None].astype(jnp.float32)
+        out = jax.ops.segment_sum(media_feats, t_index, num_segments=n_tmpl)
+        norms = jnp.linalg.norm(out, axis=1, keepdims=True)
+        return out / jnp.maximum(norms, 1e-12)
+
+    out = agg(img_feats, jnp.asarray(seg1), jnp.asarray(counts),
+              jnp.asarray(t_index))
+    if unique_ids is not None:
+        return out, unique_templates, unique_ids
+    return out, unique_templates
+
+
+def pair_scores_device(template_feats, unique_templates: np.ndarray,
+                       p1: np.ndarray, p2: np.ndarray,
+                       chunk: int = 1 << 18) -> np.ndarray:
+    """Cosine scores for template pairs on device: chunked gather + fused
+    row-dot (one lax.map dispatch; ~60 HBM-bound chunks at the 15.6M-pair
+    IJB-C scale instead of minutes of host numpy)."""
+    import jax
+    import jax.numpy as jnp
+
+    t2id = np.zeros(unique_templates.max() + 1, dtype=np.int64)
+    t2id[unique_templates] = np.arange(len(unique_templates))
+    i1 = t2id[p1].astype(np.int32)
+    i2 = t2id[p2].astype(np.int32)
+    n = len(i1)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad > n:
+        i1 = np.concatenate([i1, np.zeros(n_pad - n, np.int32)])
+        i2 = np.concatenate([i2, np.zeros(n_pad - n, np.int32)])
+
+    @jax.jit
+    def score_all(tf, i1, i2):
+        tf = tf.astype(jnp.float32)
+
+        def body(ix):
+            a, b = ix
+            return jnp.einsum("ij,ij->i", tf[a], tf[b])
+
+        return jax.lax.map(body, (i1.reshape(-1, chunk), i2.reshape(-1, chunk)))
+
+    out = score_all(template_feats, jnp.asarray(i1), jnp.asarray(i2))
+    return np.asarray(out).reshape(-1)[:n]
+
+
 # ------------------------------------------------------------------- metrics
 
 def tpr_at_fpr(labels: np.ndarray, scores: np.ndarray,
@@ -207,10 +294,14 @@ def gen_mask(query_ids: np.ndarray, reg_ids: np.ndarray) -> np.ndarray:
 def extract_ijbc_features(embed_fn, variables, root_path: str,
                           batch_size: int = 256, use_flip_test: bool = False,
                           cache_path: Optional[str] = None,
-                          target: str = "IJBC") -> Tuple[np.ndarray, np.ndarray]:
+                          target: str = "IJBC",
+                          return_device: bool = False):
     """Align + embed the loose-crop image list (ijbc_all.py:142-223).
 
     Caches aligned uint8 images to ``cache_path`` (IJBC_imgs.npy equivalent).
+    With ``return_device`` the per-batch embeddings accumulate as device
+    arrays and the feature matrix never leaves HBM (the device-resident
+    scoring engine consumes it directly — no 1 GB host round-trip).
     """
     import cv2
     import jax.numpy as jnp
@@ -233,33 +324,51 @@ def extract_ijbc_features(embed_fn, variables, root_path: str,
         if cache_path:
             np.save(cache_path, imgs)
 
+    chunks = []
+    host_feats = None
     dim = None
-    feats = None
     for s in range(0, n, batch_size):
         e = min(s + batch_size, n)
         batch = np.asarray(imgs[s:e])
         if e - s < batch_size:
             batch = np.concatenate([batch, np.repeat(batch[:1], batch_size - (e - s), 0)])
         u8 = jnp.asarray(batch)
-        f = np.asarray(embed_fn(variables, u8))
+        f = embed_fn(variables, u8)
         if use_flip_test:
-            f2 = np.asarray(embed_fn(variables, u8[:, :, ::-1, :]))
-            f = np.concatenate([f, f2], axis=1)
-        if feats is None:
-            dim = f.shape[1]
-            feats = np.empty((n, dim), np.float32)
-        feats[s:e] = f[: e - s]
+            f2 = embed_fn(variables, u8[:, :, ::-1, :])
+            f = jnp.concatenate([f, f2], axis=1)
+        if return_device:
+            chunks.append(f[: e - s])
+        else:
+            f = np.asarray(f)
+            if host_feats is None:
+                dim = f.shape[1]
+                host_feats = np.empty((n, dim), np.float32)
+            host_feats[s:e] = f[: e - s]
         if (s // batch_size) % 100 == 0:
             logger.info("embedded %d/%d", e, n)
-    return feats, faceness
+    if return_device:
+        return jnp.concatenate(chunks, axis=0), faceness
+    return host_feats, faceness
 
 
 def run_ijbc(embed_fn, variables, root_path: str, result_dir: str, epoch: int = 0,
              job: str = "1:1", batch_size: int = 256, use_norm_score: bool = True,
              use_detector_score: bool = True, use_flip_test: bool = False,
              target: str = "IJBC",
-             preloaded_feats: Optional[np.ndarray] = None) -> Dict[str, object]:
-    """Full IJB-C job matching the reference CLI behavior (ijbc_all.py:429-628)."""
+             preloaded_feats: Optional[np.ndarray] = None,
+             engine: str = "auto") -> Dict[str, object]:
+    """Full IJB-C job matching the reference CLI behavior (ijbc_all.py:429-628).
+
+    ``engine``: ``"device"`` keeps the feature matrix in HBM end-to-end
+    (embedding -> segment-sum aggregation -> chunked pair scoring, no 1 GB
+    host round-trip); ``"host"`` is the numpy pipeline; ``"auto"`` picks
+    device on TPU/GPU backends, host on CPU.
+    """
+    if engine == "auto":
+        import jax
+
+        engine = "device" if jax.default_backend() != "cpu" else "host"
     meta_dir = os.path.join(root_path, f"meta/{target}_meta")
     templates, medias = read_template_media_list(
         os.path.join(meta_dir, f"{target.lower()}_face_tid_mid.txt"))
@@ -267,26 +376,41 @@ def run_ijbc(embed_fn, variables, root_path: str, result_dir: str, epoch: int = 
     if preloaded_feats is not None:
         img_feats = preloaded_feats
         faceness = None
+        if engine == "device":
+            import jax.numpy as jnp
+
+            img_feats = jnp.asarray(img_feats)
     else:
         cache = os.path.join(root_path, f"{target}_imgs.npy")
         img_feats, faceness = extract_ijbc_features(
             embed_fn, variables, root_path, batch_size, use_flip_test,
-            cache_path=cache, target=target)
+            cache_path=cache, target=target, return_device=engine == "device")
+        xp = np
+        if engine == "device":
+            import jax.numpy as jnp
+
+            xp = jnp
+            faceness = jnp.asarray(faceness)
         if use_flip_test:
             half = img_feats.shape[1] // 2
             img_feats = img_feats[:, :half] + img_feats[:, half:]
         if not use_norm_score:
-            img_feats = img_feats / np.maximum(
-                np.linalg.norm(img_feats, axis=1, keepdims=True), 1e-12)
+            img_feats = img_feats / xp.maximum(
+                xp.linalg.norm(img_feats, axis=1, keepdims=True), 1e-12)
         if use_detector_score:
             img_feats = img_feats * faceness[:, None]
 
+    aggregate = (image_to_template_features_device if engine == "device"
+                 else image_to_template_features)
     results: Dict[str, object] = {}
     if job in ("1:1", "both"):
         p1, p2, label = read_template_pair_list(
             os.path.join(meta_dir, f"{target.lower()}_template_pair_label.txt"))
-        tfeats, utemplates = image_to_template_features(img_feats, templates, medias)
-        score = pair_scores(tfeats, utemplates, p1, p2)
+        tfeats, utemplates = aggregate(img_feats, templates, medias)
+        if engine == "device":
+            score = pair_scores_device(tfeats, utemplates, p1, p2)
+        else:
+            score = pair_scores(tfeats, utemplates, p1, p2)
         table = tpr_at_fpr(label, score)
         results["tpr_at_fpr"] = table
         save_dir = os.path.join(result_dir, f"{target.lower()}-1:1")
@@ -309,13 +433,15 @@ def run_ijbc(embed_fn, variables, root_path: str, result_dir: str, epoch: int = 
         probe_t, probe_s = read_template_subject_id_list(
             os.path.join(meta_dir, f"{target.lower()}_1N_probe_mixed.csv"))
 
-        gfeats, _, gids = image_to_template_features(
-            img_feats, templates, medias, gallery_t, gallery_s)
-        pfeats, _, pids = image_to_template_features(
-            img_feats, templates, medias, probe_t, probe_s)
+        gfeats, _, gids = aggregate(img_feats, templates, medias,
+                                    gallery_t, gallery_s)
+        pfeats, _, pids = aggregate(img_feats, templates, medias,
+                                    probe_t, probe_s)
         mask = gen_mask(pids, gids)
-        rank, pr = identification_1n(pfeats.astype(np.float32),
-                                     gfeats.astype(np.float32), mask)
+        # template matrices are small (~20k x E); the open-set heap logic
+        # stays host-side
+        rank, pr = identification_1n(np.asarray(pfeats, np.float32),
+                                     np.asarray(gfeats, np.float32), mask)
         results["rank"] = rank
         results["tpir_at_fpir"] = pr
         save_dir = os.path.join(result_dir, f"{target.lower()}-1:n")

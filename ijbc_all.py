@@ -33,7 +33,7 @@ def main(args):
     results = run_ijbc(embed_fn, variables, args.root_path, args.result_dir,
                        epoch=args.epoch, job=args.job, batch_size=args.batch_size,
                        use_flip_test=args.use_flip_test, target=args.target,
-                       preloaded_feats=preloaded)
+                       preloaded_feats=preloaded, engine=args.engine)
     print(results)
 
 
@@ -53,4 +53,9 @@ if __name__ == "__main__":
                         help="path to pre-forwarded features (.npy)")
     parser.add_argument("--use_flip_test", action="store_true")
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--engine", default="auto",
+                        choices=["auto", "device", "host"],
+                        help="scoring engine: device keeps features in HBM "
+                             "end-to-end (default on TPU), host is the "
+                             "numpy pipeline (default on CPU)")
     main(parser.parse_args())

@@ -145,3 +145,62 @@ def test_ijbc_conti_cli_multi_epoch(ijbc_root, tmp_path):
     log11 = open(ckpt_dir / "ijbc-1:1" / "log.txt").read()
     assert log11.count("TPR@FPR") >= 2 or log11.count("1e-") >= 2
     assert os.path.exists(ckpt_dir / "ijbc-1:n" / "log.txt")
+
+
+def test_run_ijbc_device_engine_matches_host(ijbc_root, tmp_path):
+    """The device-resident engine (features in HBM end-to-end: segment-sum
+    aggregation + chunked gather/dot scoring) must reproduce the host numpy
+    pipeline."""
+    backbone = build_backbone("toy", 32)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 112, 112, 3)), train=False)
+    embed_fn = auto_embed_fn(backbone)
+    host = run_ijbc(embed_fn, variables, ijbc_root, str(tmp_path / "h"),
+                    epoch=0, job="both", batch_size=4, engine="host")
+    dev = run_ijbc(embed_fn, variables, ijbc_root, str(tmp_path / "d"),
+                   epoch=0, job="both", batch_size=4, engine="device")
+    assert host["tpr_at_fpr"] == dev["tpr_at_fpr"]
+    assert host["rank"] == dev["rank"]
+    assert host["tpir_at_fpir"] == dev["tpir_at_fpir"]
+    s_h = np.load(os.path.join(str(tmp_path / "h"), "ijbc-1:1", "ijbc.npy"))
+    s_d = np.load(os.path.join(str(tmp_path / "d"), "ijbc-1:1", "ijbc.npy"))
+    np.testing.assert_allclose(s_h, s_d, atol=2e-6)
+
+
+def test_device_aggregation_and_scores_match_host_oracle():
+    from fedfr_tpu.evalsuite.ijbc import (
+        image_to_template_features,
+        image_to_template_features_device,
+        pair_scores,
+        pair_scores_device,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, n_tmpl = 400, 16, 37
+    feats = rng.standard_normal((n, dim), dtype=np.float32)
+    templates = rng.integers(0, n_tmpl, n).astype(np.int64)
+    templates[:n_tmpl] = np.arange(n_tmpl)
+    medias = rng.integers(0, 4, n).astype(np.int64)
+
+    tf_h, ut_h = image_to_template_features(feats, templates, medias)
+    tf_d, ut_d = image_to_template_features_device(jnp.asarray(feats),
+                                                   templates, medias)
+    np.testing.assert_array_equal(ut_h, ut_d)
+    np.testing.assert_allclose(np.asarray(tf_d), tf_h, atol=1e-5)
+
+    # choose_templates subset (1:n gallery path): dropped rows must not leak
+    choose_t = np.unique(templates)[::3]
+    choose_ids = choose_t * 7
+    sub_h, sut_h, ids_h = image_to_template_features(
+        feats, templates, medias, choose_t, choose_ids)
+    sub_d, sut_d, ids_d = image_to_template_features_device(
+        jnp.asarray(feats), templates, medias, choose_t, choose_ids)
+    np.testing.assert_array_equal(sut_h, sut_d)
+    np.testing.assert_array_equal(ids_h, ids_d)
+    np.testing.assert_allclose(np.asarray(sub_d), sub_h, atol=1e-5)
+
+    p1 = ut_h[rng.integers(0, len(ut_h), 1000)]
+    p2 = ut_h[rng.integers(0, len(ut_h), 1000)]
+    s_h = pair_scores(tf_h, ut_h, p1, p2)
+    s_d = pair_scores_device(tf_d, ut_d, p1, p2, chunk=128)
+    np.testing.assert_allclose(s_d, s_h, atol=2e-6)
