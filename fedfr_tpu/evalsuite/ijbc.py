@@ -136,6 +136,33 @@ def pair_scores(template_feats: np.ndarray, unique_templates: np.ndarray,
 
 # ------------------------------------------------- device-resident engine
 
+_DEVICE_JITS: Dict[str, object] = {}
+
+
+def _agg_device(feats, seg1, counts, t_index, n_codes: int, n_tmpl: int):
+    """Shared jitted segment reductions (a per-call closure would retrace on
+    every invocation — e.g. each ijbc_conti epoch)."""
+    import functools
+
+    import jax
+
+    if "agg" not in _DEVICE_JITS:
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnames=("n_codes", "n_tmpl"))
+        def agg(feats, seg1, counts, t_index, n_codes, n_tmpl):
+            sums = jax.ops.segment_sum(feats.astype(jnp.float32), seg1,
+                                       num_segments=n_codes)
+            media_feats = sums / counts[:, None].astype(jnp.float32)
+            out = jax.ops.segment_sum(media_feats, t_index,
+                                      num_segments=n_tmpl)
+            norms = jnp.linalg.norm(out, axis=1, keepdims=True)
+            return out / jnp.maximum(norms, 1e-12)
+
+        _DEVICE_JITS["agg"] = agg
+    return _DEVICE_JITS["agg"](feats, seg1, counts, t_index, n_codes, n_tmpl)
+
+
 def image_to_template_features_device(img_feats, templates: np.ndarray,
                                       medias: np.ndarray,
                                       choose_templates: Optional[np.ndarray] = None,
@@ -172,17 +199,8 @@ def image_to_template_features_device(img_feats, templates: np.ndarray,
     t_index = np.searchsorted(unique_templates, media_tmpl).astype(np.int32)
     n_tmpl = len(unique_templates)
 
-    @jax.jit
-    def agg(feats, seg1, counts, t_index):
-        sums = jax.ops.segment_sum(feats.astype(jnp.float32), seg1,
-                                   num_segments=n_codes)
-        media_feats = sums / counts[:, None].astype(jnp.float32)
-        out = jax.ops.segment_sum(media_feats, t_index, num_segments=n_tmpl)
-        norms = jnp.linalg.norm(out, axis=1, keepdims=True)
-        return out / jnp.maximum(norms, 1e-12)
-
-    out = agg(img_feats, jnp.asarray(seg1), jnp.asarray(counts),
-              jnp.asarray(t_index))
+    out = _agg_device(img_feats, jnp.asarray(seg1), jnp.asarray(counts),
+                      jnp.asarray(t_index), n_codes, n_tmpl)
     if unique_ids is not None:
         return out, unique_templates, unique_ids
     return out, unique_templates
@@ -207,17 +225,23 @@ def pair_scores_device(template_feats, unique_templates: np.ndarray,
         i1 = np.concatenate([i1, np.zeros(n_pad - n, np.int32)])
         i2 = np.concatenate([i2, np.zeros(n_pad - n, np.int32)])
 
-    @jax.jit
-    def score_all(tf, i1, i2):
-        tf = tf.astype(jnp.float32)
+    if "score" not in _DEVICE_JITS:
+        import functools
 
-        def body(ix):
-            a, b = ix
-            return jnp.einsum("ij,ij->i", tf[a], tf[b])
+        @functools.partial(jax.jit, static_argnames=("chunk",))
+        def score_all(tf, i1, i2, chunk):
+            tf = tf.astype(jnp.float32)
 
-        return jax.lax.map(body, (i1.reshape(-1, chunk), i2.reshape(-1, chunk)))
+            def body(ix):
+                a, b = ix
+                return jnp.einsum("ij,ij->i", tf[a], tf[b])
 
-    out = score_all(template_feats, jnp.asarray(i1), jnp.asarray(i2))
+            return jax.lax.map(body, (i1.reshape(-1, chunk),
+                                      i2.reshape(-1, chunk)))
+
+        _DEVICE_JITS["score"] = score_all
+    out = _DEVICE_JITS["score"](template_feats, jnp.asarray(i1),
+                                jnp.asarray(i2), chunk)
     return np.asarray(out).reshape(-1)[:n]
 
 
