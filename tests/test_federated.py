@@ -332,7 +332,7 @@ def test_branch_step_with_reweight_and_detach(fl_root):
     assert np.isfinite(stats["avg_loss"])
 
 
-def test_collapsed_feature_warning(fl_root, caplog):
+def test_collapsed_feature_warning(fl_root):
     """An exploded pretrained backbone pins the CosFace CE at its
     all-equal-cosine saturation s*m + log(C-1) with zero net gradient; the
     client must flag it (observed live: sphere64/E512 pretrained at lr 0.01,
@@ -353,9 +353,19 @@ def test_collapsed_feature_warning(fl_root, caplog):
         return state, StepMetrics(jnp.float32(sat), jnp.float32(sat), z, z)
 
     feats = server.generate_public_features()
-    with caplog.at_level(logging.WARNING, logger="fedfr_tpu.client"):
+    # capture on the client logger directly: init_logging (run by earlier
+    # in-process CLI tests) sets propagate=False on the fedfr_tpu root, so
+    # caplog's root handler would never see these records
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    clog = logging.getLogger("fedfr_tpu.client")
+    clog.addHandler(handler)
+    try:
         client.train_with_public_data(
             server.federated_vars, data.public_dataset, server.pretrained_fc,
             feats, server.pretrained_labels, local_epochs=2, train_decay=8,
             step_fn=pinned_step)
-    assert any("collapsed" in r.message for r in caplog.records)
+    finally:
+        clog.removeHandler(handler)
+    assert any("collapsed" in r.getMessage() for r in records)
