@@ -27,7 +27,18 @@ def parse(path: str):
 
 
 def main(path: str, epoch_index: int = -1):
-    acc = parse(path)
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        # a training run dir: merge every client's local_log.txt
+        acc = defaultdict(list)
+        for f in sorted(glob.glob(os.path.join(path, "clients", "client_*",
+                                               "local_log.txt"))):
+            for tid, rows in parse(f).items():
+                acc[tid].extend(rows)
+    else:
+        acc = parse(path)
     imp5, imp4, l5, l4, p5, p4 = [], [], [], [], [], []
     for tid, rows in sorted(acc.items()):
         rows = sorted(rows)

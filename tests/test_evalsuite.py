@@ -464,6 +464,13 @@ def test_parse_log_roundtrip(tmp_path):
     assert acc[0][0] == (-1, [80.0, 70.0, 60.0, 50.0, 40.0, 30.0])
     parse_log.main(os.path.join(d, "local_log.txt"))  # prints summary
 
+    # run-dir mode: merge clients/client_*/local_log.txt
+    cdir = os.path.join(d, "run", "clients", "client_0")
+    os.makedirs(cdir)
+    append_local_log(cdir, 0, 100, -1, [80.0, 70.0, 60.0, 50.0, 40.0, 30.0])
+    append_local_log(cdir, 0, 100, 9, [95.0, 90.0, 85.0, 80.0, 75.0, 70.0])
+    parse_log.main(os.path.join(d, "run"))
+
 
 def test_calculate_roc_pca_variant():
     """PCA mode (verification.py:76-88) runs and stays sane on separable data."""
