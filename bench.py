@@ -201,6 +201,39 @@ def bench_train_step(jax, jnp, iters: int = 4):
     return ips, flops / B, dt / iters * 1e3
 
 
+def bench_roc(jax, jnp, n: int = 163840, targets: int = 4096, e: int = 512,
+              iters: int = 3):
+    """Personalized all-pairs ROC histogram at the production workload
+    (reference roc_cuda.py:14-28: 160k local-veri imgs x 4k target rows,
+    512-d) through the production dispatch path (Pallas on TPU)."""
+    from fedfr_tpu.ops.roc_histogram import pairwise_roc_histogram
+
+    # feats generated + normalized on device (tunnel-safe), distinct per iter
+    @jax.jit
+    def make(key):
+        f = jax.random.normal(key, (n, e), jnp.float32)
+        f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+        l = jax.random.randint(key, (n,), 0, 4096, jnp.int32)
+        return f, l
+
+    # iters+1 distinct sets: warmup uses its own (identical repeated
+    # dispatches can be served from an execution cache on some transports)
+    keys = jax.random.split(jax.random.PRNGKey(3), iters + 1)
+    sets = [make(k) for k in keys]
+    for f, l in sets:
+        f.block_until_ready()
+
+    pairs = targets * n - targets * (targets + 1) // 2
+    _ = pairwise_roc_histogram(*sets[0], targets)  # compile + warmup
+    sets = sets[1:]
+    t0 = time.perf_counter()
+    for f, l in sets:
+        hist = pairwise_roc_histogram(f, l, targets)  # np.asarray barrier inside
+    dt = (time.perf_counter() - t0) / iters
+    assert int(hist.sum()) == pairs, (int(hist.sum()), pairs)
+    return dt, pairs / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -228,6 +261,8 @@ def main():
     train_ips, train_fpi, ms_per_step = bench_train_step(jax, jnp)
     train_mfu = train_ips * train_fpi / peak
 
+    roc_s, roc_pps = bench_roc(jax, jnp)
+
     print(json.dumps({
         "metric": "sphere64_embed_images_per_sec_per_chip",
         "value": round(embed_ips, 1),
@@ -249,6 +284,11 @@ def main():
             "ms_per_step_batch256": round(ms_per_step, 1),
             "gflop_per_img": round(train_fpi / 1e9, 2),
             "mfu": round(train_mfu, 3),
+        },
+        "roc_histogram": {
+            "s_per_client": round(roc_s, 3),
+            "gpairs_per_sec": round(roc_pps / 1e9, 2),
+            "workload": "160k x 4k x 512-d all-pairs (roc_cuda.py scale)",
         },
     }))
 
