@@ -123,6 +123,63 @@ def bench_host_phases(n_imgs: int, n_tmpl: int, n_pairs: int):
     return t_agg, t_score, t_roc, t_1n
 
 
+def bench_device_engine(n_imgs: int, n_tmpl: int, n_pairs: int):
+    """The production TPU path: segment-sum aggregation + chunked pair
+    scoring with the feature matrix resident in HBM (evalsuite/ijbc.py
+    device engine).  Index arrays are uploaded once (tiny on PCIe hosts;
+    the dev tunnel pays ~2 min for the 125 MB of pair indices, excluded
+    from timing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fedfr_tpu.evalsuite.ijbc import (
+        image_to_template_features_device,
+        pair_scores_device,
+    )
+
+    rng = np.random.default_rng(0)
+    templates = rng.integers(0, n_tmpl, n_imgs).astype(np.int64)
+    templates[:n_tmpl] = np.arange(n_tmpl)
+    medias = rng.integers(0, 3, n_imgs).astype(np.int64)
+
+    @jax.jit
+    def make_feats(key):
+        return jax.random.normal(key, (n_imgs, 512), jnp.float32)
+
+    feats = make_feats(jax.random.PRNGKey(5))
+    feats.block_until_ready()
+
+    tf, uniq = image_to_template_features_device(feats, templates, medias)
+    tf.block_until_ready()  # compile warmup (same shapes)
+    t0 = time.perf_counter()
+    tf, uniq = image_to_template_features_device(feats, templates, medias)
+    tf.block_until_ready()
+    t_agg = time.perf_counter() - t0
+
+    # time the scoring dispatch with indices already resident and only a
+    # 1-row result pull (the full 62 MB score download is free on PCIe
+    # hosts but would swamp this rig's ~1 MB/s tunnel)
+    import jax
+
+    from fedfr_tpu.evalsuite.ijbc import _DEVICE_JITS
+
+    chunk = 1 << 18
+    _ = pair_scores_device(tf, uniq, uniq[:8].astype(np.int64),
+                           uniq[:8].astype(np.int64), chunk=chunk)  # compile
+    n_pad = ((n_pairs + chunk - 1) // chunk) * chunk
+    i1 = jnp.asarray(rng.integers(0, n_tmpl, n_pad).astype(np.int32))
+    i2 = jnp.asarray(rng.integers(0, n_tmpl, n_pad).astype(np.int32))
+    i1.block_until_ready(); i2.block_until_ready()
+    out = _DEVICE_JITS["score"](tf, i1, i2, chunk)   # shape warmup
+    np.asarray(out[0, :1])
+    t0 = time.perf_counter()
+    out = _DEVICE_JITS["score"](tf, i2, i1, chunk)   # distinct inputs
+    got = np.asarray(out[0, :1])
+    t_score = time.perf_counter() - t0
+    assert np.isfinite(got).all()
+    return t_agg, t_score
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--network", default="sphnet")
@@ -130,6 +187,8 @@ def main():
     ap.add_argument("--flip", action="store_true", default=True)
     ap.add_argument("--quick", action="store_true",
                     help="1/8 of the image count (host phases stay full-scale)")
+    ap.add_argument("--device_engine", action="store_true",
+                    help="also time the device-resident aggregation/scoring")
     args = ap.parse_args()
 
     n_imgs = N_IMGS // 8 if args.quick else N_IMGS
@@ -138,10 +197,17 @@ def main():
     scale = N_IMGS / n_done
     t_agg, t_score, t_roc, t_1n = bench_host_phases(N_IMGS, N_TMPL, N_PAIRS)
 
+    dev = {}
+    if args.device_engine:
+        d_agg, d_score = bench_device_engine(N_IMGS, N_TMPL, N_PAIRS)
+        dev = {"device_aggregate_s": round(d_agg, 2),
+               "device_pair_scores_s": round(d_score, 2)}
+
     embed_full = t_embed * scale
     total = embed_full + t_agg + t_score + t_roc + t_1n
     print(json.dumps({
         "experiment": "ijbc_scale",
+        **dev,
         "network": args.network,
         "flip_test": bool(args.flip),
         "embed_imgs_per_sec": round(n_done / t_embed, 1),
