@@ -101,8 +101,38 @@ def bench_embed(jax, jnp, backbone, variables, normalize_images,
     return ips, flops / batch
 
 
+def cheap_init(jax, jnp, shapes_tree):
+    """Variance-preserving random weights from eval_shape'd shapes, built in
+    ONE jitted program (no flax init to remote-compile).
+
+    Weight VALUES are irrelevant for throughput, but all-zero weights NaN
+    the backward pass (d||x||/dx at 0) and constant weights explode through
+    the BN-free sphnet trunk; conv/linear kernels get fan-in scaling,
+    biases / PReLU slopes / BN stats a safe positive constant.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(shapes_tree)
+
+    @jax.jit
+    def make():
+        ks = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+        out = []
+        for k, s in zip(ks, leaves):
+            if len(s.shape) >= 2:
+                fan_in = max(int(np.prod(s.shape[:-1])), 1)
+                v = (jax.random.normal(k, s.shape, jnp.float32)
+                     / np.sqrt(fan_in)).astype(s.dtype)
+            else:
+                v = jnp.full(s.shape, 0.25, s.dtype)
+            out.append(v)
+        return out
+
+    return jax.tree_util.tree_unflatten(treedef, make())
+
+
 def bench_train_step(jax, jnp, iters: int = 4):
     """Joint-objective step at production shape (client.py:355-404)."""
+    import functools
+
     from fedfr_tpu.federated.trainer import (
         init_client_state,
         make_branch_train_step,
@@ -115,34 +145,12 @@ def bench_train_step(jax, jnp, iters: int = 4):
     backbone = build_backbone("sphnet", E, bf16=True, scan_blocks=True)
     key = jax.random.PRNGKey(0)
 
-    # weight VALUES are irrelevant for throughput, but all-zero weights NaN
-    # the backward pass (d||x||/dx at 0) and constant weights explode
-    # through the BN-free sphnet trunk, so build variance-preserving random
-    # weights from eval_shape'd shapes in ONE jitted program — no flax init
-    # to remote-compile
-    def cheap_init(shapes_tree):
-        leaves, treedef = jax.tree_util.tree_flatten(shapes_tree)
+    init = functools.partial(cheap_init, jax, jnp)
 
-        @jax.jit
-        def make():
-            ks = jax.random.split(jax.random.PRNGKey(7), len(leaves))
-            out = []
-            for k, s in zip(ks, leaves):
-                if len(s.shape) >= 2:  # conv/linear kernels: fan-in scaled
-                    fan_in = max(int(np.prod(s.shape[:-1])), 1)
-                    v = (jax.random.normal(k, s.shape, jnp.float32)
-                         / np.sqrt(fan_in)).astype(s.dtype)
-                else:  # biases / PReLU slopes / BN stats: safe positive const
-                    v = jnp.full(s.shape, 0.25, s.dtype)
-                out.append(v)
-            return out
-
-        return jax.tree_util.tree_unflatten(treedef, make())
-
-    bvars = cheap_init(jax.eval_shape(
+    bvars = init(jax.eval_shape(
         lambda: backbone.init(key, jnp.zeros((1, 112, 112, 3)), train=False)))
     bce = BCEModule(E, n_local)
-    bce_vars = cheap_init(jax.eval_shape(
+    bce_vars = init(jax.eval_shape(
         bce.init, key, jnp.zeros((1, E)), jnp.zeros((1,), jnp.int32)))
     fc = jnp.full((n_local + n_global, E), 1e-2, jnp.float32)
     # the trained state is donated each step; it must NOT alias the buffers
@@ -213,7 +221,7 @@ def bench_roc(jax, jnp, n: int = 163840, targets: int = 4096, e: int = 512,
     def make(key):
         f = jax.random.normal(key, (n, e), jnp.float32)
         f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
-        l = jax.random.randint(key, (n,), 0, 4096, jnp.int32)
+        l = jax.random.randint(key, (n,), 0, targets, jnp.int32)
         return f, l
 
     # iters+1 distinct sets: warmup uses its own (identical repeated

@@ -184,7 +184,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--network", default="sphnet")
     ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--flip", action="store_true", default=True)
+    ap.add_argument("--flip", action=argparse.BooleanOptionalAction,
+                    default=True, help="--no-flip disables the flip test")
     ap.add_argument("--quick", action="store_true",
                     help="1/8 of the image count (host phases stay full-scale)")
     ap.add_argument("--device_engine", action="store_true",

@@ -28,20 +28,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def time_compiled(jax, fn, args, iters=4, donate=None):
-    """Compile fn(*args) and time iters dispatches (device-data in, single
-    end barrier out)."""
+def time_compiled(jax, fn, args_list, donate=None):
+    """Compile fn and time one dispatch per args-set (DISTINCT inputs per
+    iteration — identical repeated dispatches can be served from an
+    execution cache on this rig's transport; single end barrier)."""
     jitted = jax.jit(fn, donate_argnums=donate or ())
-    out = jitted(*args)
+    out = jitted(*args_list[0])
     first = jax.tree_util.tree_leaves(out)[0]
     np.asarray(first[:1] if getattr(first, "ndim", 0) else first)
+    timed = args_list[1:]
     t0 = time.perf_counter()
     outs = None
-    for _ in range(iters):
+    for args in timed:
         outs = jitted(*args)
     first = jax.tree_util.tree_leaves(outs)[0]
     np.asarray(first[:1] if getattr(first, "ndim", 0) else first)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    return (time.perf_counter() - t0) / len(timed) * 1e3  # ms
 
 
 def main():
@@ -62,7 +64,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from bench import bench_train_step  # reuse cheap_init-style setup
+    import functools
+
+    from bench import cheap_init as _cheap_init
     from fedfr_tpu.federated.state import normalize_images, train_preprocess
     from fedfr_tpu.federated.trainer import init_client_state, make_branch_train_step
     from fedfr_tpu.models import BCEModule, build_backbone
@@ -77,27 +81,7 @@ def main():
     bce = BCEModule(E, n_local)
     key = jax.random.PRNGKey(0)
 
-    # variance-preserving cheap init (same recipe as bench.py)
-    from bench import bench_train_step as _unused  # noqa: F401
-
-    def cheap_init(shapes_tree):
-        leaves, treedef = jax.tree_util.tree_flatten(shapes_tree)
-
-        @jax.jit
-        def make():
-            ks = jax.random.split(jax.random.PRNGKey(7), len(leaves))
-            out = []
-            for k, s in zip(ks, leaves):
-                if len(s.shape) >= 2:
-                    fan_in = max(int(np.prod(s.shape[:-1])), 1)
-                    v = (jax.random.normal(k, s.shape, jnp.float32)
-                         / np.sqrt(fan_in)).astype(s.dtype)
-                else:
-                    v = jnp.full(s.shape, 0.25, s.dtype)
-                out.append(v)
-            return out
-
-        return jax.tree_util.tree_unflatten(treedef, make())
+    cheap_init = functools.partial(_cheap_init, jax, jnp)
 
     bvars = cheap_init(jax.eval_shape(
         lambda: backbone.init(key, jnp.zeros((1, 112, 112, 3)), train=False)))
@@ -105,12 +89,16 @@ def main():
         bce.init, key, jnp.zeros((1, E)), jnp.zeros((1,), jnp.int32)))
     fc = jnp.full((n_local + n_global, E), 1e-2, jnp.float32)
 
+    ITERS = 4
+
     @jax.jit
     def make_inputs(k):
         imgs = jax.random.randint(k, (B, 112, 112, 3), 0, 255, jnp.uint8)
         labels = jax.random.randint(k, (B,), 0, n_local + n_global, jnp.int32)
         return imgs, labels
-    imgs, labels = make_inputs(jax.random.PRNGKey(1))
+    inputs = [make_inputs(k)
+              for k in jax.random.split(jax.random.PRNGKey(1), ITERS + 1)]
+    imgs, labels = inputs[0]
     valid = jnp.ones((B,), bool)
     rng = jnp.asarray(jax.random.PRNGKey(2))
     margin_fn = MARGINS["CosFace"]
@@ -120,14 +108,16 @@ def main():
     # 1. trainable forward only (eval-mode embedding)
     def fwd(bvars, u8):
         return backbone.apply(bvars, normalize_images(u8), train=False)
-    report["forward_ms"] = time_compiled(jax, fwd, (bvars, imgs))
+    report["forward_ms"] = time_compiled(
+        jax, fwd, [(bvars, u8) for u8, _ in inputs])
 
     # 2. frozen contrastive forwards (two backbones, train=False)
     def frozen2(g, l, u8):
         x = normalize_images(u8)
         return (backbone.apply(g, x, train=False),
                 backbone.apply(l, x, train=False))
-    report["frozen_forwards_ms"] = time_compiled(jax, frozen2, (bvars, bvars, imgs))
+    report["frozen_forwards_ms"] = time_compiled(
+        jax, frozen2, [(bvars, bvars, u8) for u8, _ in inputs])
 
     # 3. forward+backward of the joint loss, NO frozen forwards, NO sgd
     def loss_nofrozen(params, u8):
@@ -145,33 +135,35 @@ def main():
         return cos_l + 10.0 * bce_loss(bl, gts, 30.0, 0.7, valid)
     params = {"backbone": bvars["params"], "fc": fc, "bce": bce_vars["params"]}
     report["fwd_bwd_no_frozen_ms"] = time_compiled(
-        jax, jax.grad(loss_nofrozen), (params, imgs))
+        jax, jax.grad(loss_nofrozen), [(params, u8) for u8, _ in inputs])
 
-    # 4. SGD update alone
+    # 4. SGD update alone (distinct lr per iter -> distinct dispatches)
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
     opt = sgd_init(params)
-    def sgd_only(params, grads, opt):
-        return sgd_update(params, grads, opt, jnp.float32(0.001), 0.9, 5e-4)
-    report["sgd_update_ms"] = time_compiled(jax, sgd_only, (params, grads, opt))
+    def sgd_only(params, grads, opt, lr):
+        return sgd_update(params, grads, opt, lr, 0.9, 5e-4)
+    report["sgd_update_ms"] = time_compiled(
+        jax, sgd_only,
+        [(params, grads, opt, jnp.float32(0.001) + 1e-6 * i)
+         for i in range(ITERS + 1)])
 
     # 5. the full production step for reference
     state = init_client_state(
         jax.tree_util.tree_map(jnp.copy, bvars), fc, bce_vars)
     step = make_branch_train_step(backbone, bce, num_local=n_local,
                                   num_clients=40, jit=False)
-    def full(state):
-        return step(state, bvars, bvars, imgs, labels, valid,
-                    jnp.float32(0.001), rng, jnp.int32(0))
-    s, m = jax.jit(full)(state)
+    def full(state, u8, labels, step_no):
+        return step(state, bvars, bvars, u8, labels, valid,
+                    jnp.float32(0.001), rng, step_no)
+    jf = jax.jit(full)
+    cur, m = jf(state, *inputs[0], jnp.int32(0))
     np.asarray(m.loss)
     t0 = time.perf_counter()
-    iters = 4
-    cur = state
-    jf = jax.jit(full)
-    for _ in range(iters):
-        cur, m = jf(cur)
+    for i in range(ITERS):
+        u8, lb = inputs[1 + i]
+        cur, m = jf(cur, u8, lb, jnp.int32(1 + i))
     np.asarray(m.loss)
-    report["full_step_ms"] = (time.perf_counter() - t0) / iters * 1e3
+    report["full_step_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
 
     report["network"] = args.network
     report["batch"] = B

@@ -84,6 +84,11 @@ def image_to_template_features(img_feats: np.ndarray, templates: np.ndarray,
     feats = img_feats[keep]
     tmpl = templates[keep]
     med = medias[keep]
+    if len(tmpl) == 0:  # no image rows for any chosen template
+        out = np.zeros((len(unique_templates), img_feats.shape[1]))
+        if unique_ids is not None:
+            return out, unique_templates, unique_ids
+        return out, unique_templates
 
     # stage 1: mean over (template, media) groups.  Segment sums run as
     # sort + add.reduceat over the f32 rows (the reference accumulates in
@@ -234,7 +239,11 @@ def pair_scores_device(template_feats, unique_templates: np.ndarray,
 
             def body(ix):
                 a, b = ix
-                return jnp.einsum("ij,ij->i", tf[a], tf[b])
+                # HIGHEST: XLA's default contraction precision truncates f32
+                # operands on TPU (repo rule, CLAUDE.md) — the strict
+                # TPR@FPR=1e-6 operating point is sensitive to ~1e-3 drift
+                return jnp.einsum("ij,ij->i", tf[a], tf[b],
+                                  precision=jax.lax.Precision.HIGHEST)
 
             return jax.lax.map(body, (i1.reshape(-1, chunk),
                                       i2.reshape(-1, chunk)))

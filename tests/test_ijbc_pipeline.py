@@ -204,3 +204,28 @@ def test_device_aggregation_and_scores_match_host_oracle():
     s_h = pair_scores(tf_h, ut_h, p1, p2)
     s_d = pair_scores_device(tf_d, ut_d, p1, p2, chunk=128)
     np.testing.assert_allclose(s_d, s_h, atol=2e-6)
+
+
+def test_aggregation_empty_choose_templates():
+    """choose_templates disjoint from the tid/mid list: both engines must
+    return zero vectors instead of crashing (regression: the sort+reduceat
+    rewrite IndexError'd on an empty keep mask)."""
+    from fedfr_tpu.evalsuite.ijbc import (
+        image_to_template_features,
+        image_to_template_features_device,
+    )
+
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((20, 8), dtype=np.float32)
+    templates = np.arange(20, dtype=np.int64)
+    medias = np.zeros(20, np.int64)
+    choose = np.array([100, 101], np.int64)  # not present
+    ids = np.array([7, 8], np.int64)
+
+    out_h, ut_h, ids_h = image_to_template_features(
+        feats, templates, medias, choose, ids)
+    assert out_h.shape == (2, 8) and not out_h.any()
+    out_d, ut_d, ids_d = image_to_template_features_device(
+        jnp.asarray(feats), templates, medias, choose, ids)
+    np.testing.assert_array_equal(np.asarray(out_d), out_h)
+    np.testing.assert_array_equal(ut_h, ut_d)
