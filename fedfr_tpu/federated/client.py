@@ -27,7 +27,8 @@ logger = logging.getLogger("fedfr_tpu.client")
 
 class Client:
     def __init__(self, cid: int, cfg: FedFRConfig, dataset: FaceRecordDataset,
-                 backbone, bce_module, rng: np.random.Generator):
+                 backbone, bce_module, rng: np.random.Generator,
+                 embed_fn=None):
         self.cid = cid
         self.cfg = cfg
         self.dataset = dataset
@@ -63,7 +64,11 @@ class Client:
         self.trained_backbone: Optional[Dict[str, Any]] = None
         self.global_fc: Optional[np.ndarray] = None
 
-        self._embed_fn = auto_embed_fn(backbone)
+        # one compiled embed executable is shared across the server and all
+        # clients (the Server passes its own in; a per-client auto_embed_fn
+        # would trace N copies and, on multi-device meshes, retain N
+        # replicated backbone copies in HBM)
+        self._embed_fn = embed_fn if embed_fn is not None else auto_embed_fn(backbone)
 
     # ------------------------------------------------------------- FC init
 

@@ -8,7 +8,6 @@ rows of the final batch are discarded after the forward.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
@@ -87,11 +86,6 @@ def auto_embed_fn(backbone, bce_module=None) -> Callable:
         return make_sharded_embed_fn(backbone, data_mesh(),
                                      bce_module=bce_module)
     return make_embed_fn(backbone, bce_module)
-
-
-@functools.partial(jax.jit, static_argnames=("flip",))
-def _flip_sum(feats, feats_flip, flip: bool):
-    return feats + feats_flip if flip else feats
 
 
 @jax.jit

@@ -28,7 +28,7 @@ from ..parallel.fedavg import (
 from ..utils import torch_interop
 from .client import Client
 from .embed import auto_embed_fn, class_mean_features, embed_dataset
-from .trainer import make_branch_train_step
+from .trainer import make_branch_train_step, make_plain_train_step
 
 logger = logging.getLogger("fedfr_tpu.server")
 
@@ -76,7 +76,7 @@ class Server:
 
         self.clients: List[Client] = [
             Client(cid, cfg, data.client(cid), self.backbone, self.bce_module,
-                   self.rng)
+                   self.rng, embed_fn=self._embed_fn)
             for cid in range(cfg.data.num_clients)]
 
         # clients sampled for per-round local verification (server.py:107)
@@ -102,8 +102,11 @@ class Server:
             for c in self.clients:
                 c.init_bce_from_fc()
 
-        # shared compiled train step across all clients (identical shapes)
+        # shared compiled train steps across all clients and rounds
+        # (identical shapes -> one executable each)
         self._branch_step = None
+        self._plain_step = None
+        self._parallel_step = None
 
     # ------------------------------------------------------------- FC init
 
@@ -218,7 +221,17 @@ class Server:
                     step_fn=self._branch_step, round_seed=self.global_round)
             else:
                 lr = self.cfg.optim.lr
+                if self._plain_step is None:
+                    self._plain_step = make_plain_train_step(
+                        self.backbone, margin=cfg.loss.loss,
+                        s=cfg.loss.margin_s, m=cfg.loss.margin_m,
+                        momentum=cfg.optim.momentum,
+                        weight_decay=cfg.optim.weight_decay,
+                        reweight=cfg.fed.reweight_cosface,
+                        num_local=self.clients[0].num_classes,
+                        num_clients=cfg.data.num_clients)
                 stats = client.train(self.federated_vars, self.local_epoch, lr,
+                                     step_fn=self._plain_step,
                                      round_seed=self.global_round)
             losses.append(stats["loss"])
             sizes.append(stats["dataset_size"])
@@ -280,17 +293,21 @@ class Server:
             self.train_decay = max(1, int(3 / 4 * self.local_epoch))
 
         K = mesh.shape["client"]
-        step_fn = make_parallel_branch_step(
-            self.backbone, self.bce_module, margin=cfg.loss.loss,
-            s=cfg.loss.margin_s, m=cfg.loss.margin_m,
-            bce_weight=cfg.loss.bce_weight, bce_r=cfg.loss.bce_r,
-            bce_lambda=cfg.loss.bce_lambda, mu=cfg.loss.mu,
-            temperature=cfg.loss.temperature, momentum=cfg.optim.momentum,
-            weight_decay=cfg.optim.weight_decay, bce_detach=cfg.fed.bce_detach,
-            contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
-            num_local=self.clients[0].num_classes,
-            num_clients=cfg.data.num_clients,
-            fedprox_mu=cfg.fed.fedprox_mu)
+        if self._parallel_step is None:  # one executable for all rounds
+            self._parallel_step = make_parallel_branch_step(
+                self.backbone, self.bce_module, margin=cfg.loss.loss,
+                s=cfg.loss.margin_s, m=cfg.loss.margin_m,
+                bce_weight=cfg.loss.bce_weight, bce_r=cfg.loss.bce_r,
+                bce_lambda=cfg.loss.bce_lambda, mu=cfg.loss.mu,
+                temperature=cfg.loss.temperature, momentum=cfg.optim.momentum,
+                weight_decay=cfg.optim.weight_decay,
+                bce_detach=cfg.fed.bce_detach,
+                contrastive=cfg.fed.contrastive,
+                reweight=cfg.fed.reweight_cosface,
+                num_local=self.clients[0].num_classes,
+                num_clients=cfg.data.num_clients,
+                fedprox_mu=cfg.fed.fedprox_mu)
+        step_fn = self._parallel_step
 
         from ..utils.optim import step_lr
 
@@ -310,8 +327,11 @@ class Server:
             group = todo[g0:g0 + K]
             pad = K - len(group)
             members = group + [group[0]] * pad  # padded slots discarded below
+            # prepare only the REAL clients (a padded slot reusing client 0's
+            # prep would otherwise re-run its full mining pass and consume
+            # its loader's rng stream)
             preps = []
-            for cid in members:
+            for cid in group:
                 preps.append(self.clients[cid].prepare_local_run(
                     self.federated_vars, self.data.public_dataset,
                     self.pretrained_fc, public_feats, self.pretrained_labels,
@@ -326,10 +346,12 @@ class Server:
                     yield from loader.epoch()
 
             iters = [cycling(l) for l in loaders]
-            stacked = stack_trees([p[2] for p in preps])
+            stacked = stack_trees([p[2] for p in preps]
+                                  + [preps[0][2]] * pad)
             stacked = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, client_shard), stacked)
-            last_stacked = stack_trees([p[3] for p in preps])
+            last_stacked = stack_trees([p[3] for p in preps]
+                                       + [preps[0][3]] * pad)
             last_stacked = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, client_shard), last_stacked)
             global_repl = jax.tree_util.tree_map(
@@ -341,32 +363,63 @@ class Server:
             keys = jax.device_put(np.stack([np.asarray(jax.random.PRNGKey(
                 cfg.runtime.seed + 31 * self.global_round + cid))
                 for cid in members]), client_shard)
+
+            # background producer overlaps host decode + the host->device
+            # transfer with TPU compute (the parallel-loop analog of the
+            # sequential path's DevicePrefetcher)
+            import queue as _queue
+            import threading as _threading
+
+            n_dispatches = self.local_epoch * steps_per_epoch
+            q: "_queue.Queue" = _queue.Queue(
+                maxsize=max(1, cfg.data.prefetch))
+            perr: list = []
+
+            def _produce():
+                try:
+                    for _ in range(n_dispatches):
+                        batches = [next(it) for it in iters]
+                        batches += [batches[0]] * pad  # slots discarded later
+                        imgs, labels, valid = stack_client_batches(batches)
+                        q.put((jax.device_put(imgs, batch_shard),
+                               jax.device_put(labels, batch_shard),
+                               jax.device_put(valid, batch_shard)))
+                except Exception as e:  # propagated after join
+                    perr.append(e)
+                    q.put(None)
+
+            producer = _threading.Thread(target=_produce, daemon=True)
+            producer.start()
+
             metrics = None
+            loss_acc = np.zeros(K)
             step_no = 0
             for epoch in range(self.local_epoch):
                 lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
                              cfg.optim.lr_gamma)
                 for s in range(steps_per_epoch):
-                    batches = [next(it) for it in iters]
-                    imgs, labels, valid = stack_client_batches(batches)
+                    batch = q.get()
+                    if batch is None:
+                        raise perr[0]
+                    imgs_d, labels_d, valid_d = batch
                     stacked, metrics = step_fn(
-                        stacked,
-                        global_repl,
-                        last_stacked,
-                        jax.device_put(imgs, batch_shard),
-                        jax.device_put(labels, batch_shard),
-                        jax.device_put(valid, batch_shard),
-                        jnp.float32(lr),
-                        keys, step_no)
+                        stacked, global_repl, last_stacked,
+                        imgs_d, labels_d, valid_d,
+                        jnp.float32(lr), keys, step_no)
                     step_no += 1
+                # per-epoch metric pull, as the sequential loop does — the
+                # reported loss is the mean over epochs of each epoch's last
+                # step (identical semantics on both paths)
+                loss_acc += np.asarray(jax.device_get(metrics).loss)
                 logger.info("parallel group %s epoch %d/%d done",
                             group, epoch + 1, self.local_epoch)
+            producer.join()
 
-            m = jax.device_get(metrics)
+            avg_loss = loss_acc / max(self.local_epoch, 1)
             states = unstack_tree(jax.device_get(stacked), K)
             for slot, cid in enumerate(group):
                 client = self.clients[cid]
-                client.finalize_local_run(states[slot], float(m.loss[slot]))
+                client.finalize_local_run(states[slot], float(avg_loss[slot]))
                 losses.append(client.last_loss)
                 sizes.append(client.dataset_size)
                 models.append(client.trained_backbone)

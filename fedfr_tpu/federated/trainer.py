@@ -87,10 +87,14 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
                 logits = reweight_negatives(logits, labels, num_local, num_clients)
             cos_l = softmax_cross_entropy(logits, labels, valid)
 
-            bce_feats = jax.lax.stop_gradient(feats) if bce_detach else feats
-            bce_logits, gts = bce_module.apply({"params": train_params["bce"]},
-                                               bce_feats, labels)
-            bce_l = bce_loss(bce_logits, gts, bce_r, bce_lambda, valid)
+            if "bce" in train_params:
+                bce_feats = jax.lax.stop_gradient(feats) if bce_detach else feats
+                bce_logits, gts = bce_module.apply(
+                    {"params": train_params["bce"]}, bce_feats, labels)
+                bce_l = bce_loss(bce_logits, gts, bce_r, bce_lambda, valid)
+            else:  # joint objective without the BCE branch (reference
+                # client.py:320,383 guards the term on self.BCE_local)
+                bce_l = jnp.zeros(())
 
             if contrastive:
                 gfeats, _ = _apply_backbone(backbone, global_vars, x, train=False)
@@ -109,8 +113,9 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
             aux = (new_vars.get("batch_stats"), StepMetrics(total, cos_l, bce_l, con_l))
             return total, aux
 
-        train_params = {"backbone": state.backbone["params"], "fc": state.fc,
-                        "bce": state.bce["params"]}
+        train_params = {"backbone": state.backbone["params"], "fc": state.fc}
+        if state.bce is not None:
+            train_params["bce"] = state.bce["params"]
         bs = state.backbone.get("batch_stats")
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(train_params, bs)
         new_params, new_opt = sgd_update(train_params, grads, state.opt, lr,
@@ -120,7 +125,8 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
             new_backbone["batch_stats"] = new_bs
         new_state = ClientTrainState(
             backbone=new_backbone, fc=new_params["fc"],
-            bce={"params": new_params["bce"]}, opt=new_opt)
+            bce={"params": new_params["bce"]} if "bce" in new_params else None,
+            opt=new_opt)
         return new_state, metrics
 
     if not jit:

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..federated.trainer import make_branch_train_step, make_plain_train_step
+from ..federated.trainer import make_branch_train_step
 from .fedavg import fed_weighted_average
 
 
@@ -52,12 +52,6 @@ def make_parallel_branch_step(backbone, bce_module, donate: bool = True,
     # None) — each client folds (its key, step) exactly as the sequential
     # loop does, so both paths consume identical randomness
     v = jax.vmap(base, in_axes=(0, None, 0, 0, 0, 0, None, 0, None))
-    return jax.jit(v, donate_argnums=(0,) if donate else ())
-
-
-def make_parallel_plain_step(backbone, donate: bool = True, **kwargs) -> Callable:
-    base = make_plain_train_step(backbone, jit=False, donate=False, **kwargs)
-    v = jax.vmap(base, in_axes=(0, 0, 0, 0, None, 0, None))
     return jax.jit(v, donate_argnums=(0,) if donate else ())
 
 

@@ -124,12 +124,14 @@ def partial_fc_loss(mesh: Mesh, margin: str = "CosFace", s: float = 30.0,
 
 
 def sample_negatives(key: jax.Array, labels: jnp.ndarray, num_local: int,
-                     num_sample: int, class_start: int) -> jnp.ndarray:
+                     num_sample: int, class_start: int,
+                     valid_count=None) -> jnp.ndarray:
     """Choose ``num_sample`` class rows: positives forced, rest uniform.
 
     The reference's top-k perturbation trick (partial_fc.py:94-104): scores
     are U[0,1) with positives boosted to 2.0; the top-k indices (sorted) form
-    the sampled class set.
+    the sampled class set.  Rows at or past ``valid_count`` (shard padding
+    from pad_classes) score -1 so real classes always win the budget.
     """
     rel = labels - class_start
     pos = (rel >= 0) & (rel < num_local)
@@ -137,16 +139,29 @@ def sample_negatives(key: jax.Array, labels: jnp.ndarray, num_local: int,
     marks = jnp.zeros(num_local, bool).at[jnp.where(pos, rel, num_local)].set(
         True, mode="drop")
     perm = jnp.where(marks, 2.0, perm)
+    if valid_count is not None:
+        perm = jnp.where(jnp.arange(num_local) < valid_count, perm, -1.0)
     _, index = lax.top_k(perm, num_sample)
     return jnp.sort(index)
 
 
 def sampled_partial_fc_loss(mesh: Mesh, num_sample: int, margin: str = "CosFace",
-                            s: float = 30.0, m: float = 0.4, axis: str = "model"):
+                            s: float = 30.0, m: float = 0.4, axis: str = "model",
+                            num_valid: Optional[int] = None):
     """Partial FC with per-shard negative-class sampling (static sample count).
 
     Returns ``loss = f(key, features, labels, weight)``.  Gradients w.r.t.
     ``weight`` flow only to sampled rows (gather/scatter-add transpose).
+
+    ``num_valid``: real class count when the weight was padded by
+    pad_classes — padded rows are never sampled and are masked out of the
+    softmax if sampling must fall back to them.
+
+    Static-shape deviation (documented): the reference switches to a
+    positives-only dynamic sample when a batch has more distinct positive
+    classes than ``num_sample`` (partial_fc.py:96-101).  Here the sample
+    count is fixed, so overflow positives are excluded from the loss for
+    that step (their rows are masked, not mis-targeted).
     """
     margin_fn = MARGINS[margin]
 
@@ -158,23 +173,38 @@ def sampled_partial_fc_loss(mesh: Mesh, num_sample: int, margin: str = "CosFace"
         total_f = lax.all_gather(features, axis, tiled=True)
         total_l = lax.all_gather(labels, axis, tiled=True)
 
+        shard_valid = (None if num_valid is None
+                       else jnp.clip(num_valid - class_start, 0, c_local))
         shard_key = jax.random.fold_in(key, idx)
-        index = sample_negatives(shard_key, total_l, c_local, num_sample, class_start)
+        index = sample_negatives(shard_key, total_l, c_local, num_sample,
+                                 class_start, valid_count=shard_valid)
         index = lax.stop_gradient(index)
         w_sub = jnp.take(weight, index, axis=0)           # differentiable gather
 
-        # remap labels into the sampled set (present by construction)
+        # remap labels into the sampled set; a positive that lost the top-k
+        # budget (more distinct positives than num_sample) maps nowhere and
+        # its row is excluded below instead of training a wrong target
         rel = total_l - class_start
         pos = (rel >= 0) & (rel < c_local)
         safe_rel = jnp.where(pos, rel, 0)
-        remapped = jnp.searchsorted(index, safe_rel)
-        local_label = jnp.where(pos, remapped, -1)
+        remapped = jnp.clip(jnp.searchsorted(index, safe_rel), 0, num_sample - 1)
+        hit = jnp.take(index, remapped) == safe_rel
+        local_label = jnp.where(pos & hit, remapped, -1)
 
+        if num_valid is not None:
+            # replace any padded all-zero row that sampling had to fall back
+            # to with a safe constant BEFORE normalization — sqrt(sum w^2)
+            # has a NaN gradient at w == 0 that would poison the weight grad
+            # through the masked (0-cotangent) path
+            col_ok = (class_start + index) < num_valid
+            w_sub = jnp.where(col_ok[:, None], w_sub, 1.0)
         wn = l2_normalize(w_sub, axis=1)
         fn = l2_normalize(total_f, axis=1)
         cosine = jnp.dot(fn, wn.T, preferred_element_type=jnp.float32,
                          precision=lax.Precision.HIGHEST)
         logits = margin_fn(cosine, local_label, s, m)
+        if num_valid is not None:  # padded rows drop out of the softmax
+            logits = jnp.where(col_ok[None, :], logits, -jnp.inf)
 
         local_max = jnp.max(logits, axis=1)
         global_max = lax.pmax(lax.stop_gradient(local_max), axis)
@@ -187,7 +217,9 @@ def sampled_partial_fc_loss(mesh: Mesh, num_sample: int, margin: str = "CosFace"
                               jnp.take_along_axis(logits, safe[:, None], axis=1)[:, 0], 0.0)
         tgt = lax.psum(tgt_local, axis)
 
-        valid = total_l >= 0
+        # a row is only counted when some shard owns its (surviving) target
+        has_tgt = lax.psum((local_label >= 0).astype(jnp.float32), axis)
+        valid = (total_l >= 0) & (has_tgt > 0)
         per_row = jnp.where(valid, logz - tgt, 0.0)
         return jnp.sum(per_row) / jnp.maximum(jnp.sum(valid), 1)
 

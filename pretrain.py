@@ -63,7 +63,7 @@ def main(args):
     if args.sample_rate < 1.0:
         num_sample = max(1, int(args.sample_rate * weight.shape[0] // n_shards))
         pfc = sampled_partial_fc_loss(mesh, num_sample, args.loss, args.scale,
-                                      args.margin)
+                                      args.margin, num_valid=num_valid)
         sampled = True
     else:
         pfc = partial_fc_loss(mesh, args.loss, args.scale, args.margin,

@@ -369,3 +369,15 @@ def test_collapsed_feature_warning(fl_root):
     finally:
         clog.removeHandler(handler)
     assert any("collapsed" in r.getMessage() for r in records)
+
+
+def test_public_data_without_bce_branch(fl_root):
+    """--add_pretrained_data without --BCE_local is a legal reference config
+    (client.py:320,383 guards the BCE term); the joint step must run with
+    state.bce = None (regression: unconditional state.bce['params'] crash)."""
+    cfg = _tiny_cfg(fl_root, bce_local=False)
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+    stats = server.train_round()
+    assert np.isfinite(stats["avg_loss"])
+    assert server.clients[0].bce_vars is None

@@ -252,3 +252,59 @@ def test_multislice_mesh_rejects_uneven_slices():
 
     with pytest.raises(ValueError):
         make_mesh(slice_of=lambda d: 0 if d.id < 3 else 1)
+
+
+def test_sampled_partial_fc_padded_rows_never_trained():
+    """pad_classes rows must not be sampled, enter the softmax, or receive
+    gradient (regression: the sampled variant ignored num_valid)."""
+    mesh = model_mesh()
+    rng = np.random.default_rng(6)
+    B, C, E = 16, 20, 8  # pads to 24 over 8 shards
+    feats = jnp.asarray(rng.standard_normal((B, E), dtype=np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, E), dtype=np.float32) * 0.1)
+    labels = jnp.asarray(rng.integers(0, C, B, dtype=np.int32))
+    padded, num_valid = pad_classes(weight, 8)
+    assert padded.shape[0] == 24 and num_valid == C
+
+    loss_fn = sampled_partial_fc_loss(mesh, num_sample=2, num_valid=num_valid)
+    loss, g = jax.jit(jax.value_and_grad(loss_fn, argnums=3))(
+        jax.random.PRNGKey(2), feats, labels, padded)
+    assert np.isfinite(float(loss))
+    g = np.asarray(g)
+    assert np.all(g[C:] == 0), "padded rows received gradient"
+
+    # full-rate sampling over the padded weight still matches the dense loss
+    full_fn = sampled_partial_fc_loss(mesh, num_sample=3, num_valid=num_valid)
+    full = jax.jit(full_fn)(jax.random.PRNGKey(2), feats, labels, padded)
+    dense = _reference_full_loss(feats, labels, weight)
+    np.testing.assert_allclose(float(full), float(dense), rtol=1e-5)
+
+
+def test_sampled_partial_fc_positive_overflow_rows_masked():
+    """More distinct positive classes on a shard than num_sample: overflow
+    rows are excluded from the loss instead of trained toward a wrong class
+    (the reference falls back to a dynamic positives-only sample,
+    partial_fc.py:96-101 — impossible with static shapes)."""
+    mesh = model_mesh()
+    rng = np.random.default_rng(7)
+    B, C, E = 16, 24, 8  # c_local = 3
+    feats = jnp.asarray(rng.standard_normal((B, E), dtype=np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, E), dtype=np.float32) * 0.1)
+    # shard 0 owns classes {0,1,2}: make all three positive -> one must drop
+    labels = np.full(B, -1, np.int32)
+    labels[:3] = [0, 1, 2]
+    labels[3:] = rng.integers(12, C, B - 3)
+    labels = jnp.asarray(labels)
+
+    loss_fn = sampled_partial_fc_loss(mesh, num_sample=2)
+    loss = jax.jit(loss_fn)(jax.random.PRNGKey(3), feats, labels, weight)
+    assert np.isfinite(float(loss))
+
+    # ties at score 2.0 resolve to the lowest indices (lax.top_k stable):
+    # class 2's row is the dropped positive -> masking it by hand must give
+    # the identical loss
+    masked = np.asarray(labels).copy()
+    masked[2] = -1
+    expect = jax.jit(loss_fn)(jax.random.PRNGKey(3), feats,
+                              jnp.asarray(masked), weight)
+    np.testing.assert_allclose(float(loss), float(expect), rtol=1e-6)
