@@ -22,7 +22,8 @@ def main(args):
         variables = load_backbone_variables(args.network, path)
         print(f"=== epoch {e}: {path} ===")
         run_ijbc(embed_fn, variables, args.root_path, args.ckpt_dir,
-                 epoch=e, job=args.job, batch_size=args.batch_size)
+                 epoch=e, job=args.job, batch_size=args.batch_size,
+                 engine=getattr(args, "engine", "auto"))
 
 
 if __name__ == "__main__":
@@ -34,6 +35,9 @@ if __name__ == "__main__":
     parser.add_argument("--epoch", type=int, nargs="+")
     parser.add_argument("--network", default="sphnet")
     parser.add_argument("--embedding_size", type=int, default=512)
+    parser.add_argument("--engine", default="auto",
+                        choices=["auto", "device", "host"],
+                        help="scoring engine (see ijbc_all.py)")
     parser.add_argument("--gpu", type=str, nargs="+", default=None,
                         help="accepted for reference-command compatibility; "
                              "device placement is managed by JAX")
