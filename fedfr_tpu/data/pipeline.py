@@ -33,27 +33,56 @@ class DevicePrefetcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
 
         def produce():
             try:
                 for imgs, labels, valid in self.loader.epoch():
+                    if stop.is_set():
+                        return
                     batch = (jnp.asarray(imgs), jnp.asarray(labels),
                              jnp.asarray(valid))
                     if self.device is not None:
                         batch = jax.device_put(batch, self.device)
-                    q.put(batch)
+                    # bounded put with a stop check: if the consumer abandons
+                    # the generator (exception in its loop body), a plain
+                    # blocking put would leak the thread + the in-flight
+                    # device batches for the life of the process
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except Exception as e:  # pragma: no cover - propagated below
                 error.append(e)
             finally:
-                q.put(sentinel)
+                # the sentinel MUST arrive (a dropped one hangs the consumer
+                # at q.get) — keep trying unless the consumer abandoned us
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:  # also runs on GeneratorExit (abandoned iteration)
+            stop.set()
+            while True:  # drain so the producer's bounded put unblocks
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
         if error:
             raise error[0]

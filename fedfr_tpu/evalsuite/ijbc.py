@@ -15,7 +15,6 @@ In-process, vectorized re-design of the reference pipeline (ijbc_all.py):
 from __future__ import annotations
 
 import logging
-import math
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -293,16 +292,11 @@ def identification_1n(probe_feats: np.ndarray, gallery_feats: np.ndarray,
         hits = (order[:, :min(k, kmax)] == mask[:, None]).any(axis=1)
         rank[f"top{k}"] = float(hits.mean())
 
-    required_topk = [math.ceil(q * x) for x in fars]
-    pos_sims = sim[np.arange(q), mask].copy()
-    sim[np.arange(q), mask] = -2.0
-    neg_sims = sim[sim > -2.0]
-    k = max(required_topk)
-    top = np.sort(np.partition(neg_sims, len(neg_sims) - k)[len(neg_sims) - k:])[::-1]
-    pr = {}
-    for far, pos in zip(fars, required_topk):
-        th = top[pos - 1]
-        pr[far] = float(np.sum(pos_sims > th)) / q
+    from .openset import openset_thresholds
+
+    pos_sims, ths = openset_thresholds(sim, mask, fars)
+    pr = {far: float(np.sum(pos_sims > th)) / q
+          for far, th in zip(fars, ths)}
     return rank, pr
 
 

@@ -9,7 +9,6 @@ device code in the same process.
 from __future__ import annotations
 
 import logging
-import math
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -62,29 +61,13 @@ def open_set_identification(query_feats: np.ndarray, gallery_feats: np.ndarray,
     scores; recall denominator is 40*gallery by the reference's convention
     (40 veri images per identity).
     """
+    from .openset import openset_thresholds
+
     q, g = query_feats.shape[0], gallery_feats.shape[0]
     sim = query_feats @ gallery_feats.T
-    mask = np.asarray(mask)
-    rows = np.nonzero(mask != -1)[0]
-    pos_sims = sim[rows, mask[rows]].copy()
-    sim[rows, mask[rows]] = -2.0
-
-    neg_sims = sim[sim > -2.0]
-    required_topk = [math.ceil(q * far) for far in fars]
-    k = max(required_topk)
-    # top-k negatives via partition (heapq.nlargest equivalent)
-    if k < len(neg_sims):
-        top = np.partition(neg_sims, len(neg_sims) - k)[len(neg_sims) - k:]
-    else:
-        top = neg_sims
-    top = np.sort(top)[::-1]
-
+    pos_sims, ths = openset_thresholds(sim, mask, fars)
     denom = recall_denominator if recall_denominator is not None else 40 * g
-    result = []
-    for far, pos in zip(fars, required_topk):
-        th = top[pos - 1]
-        recall = float(np.sum(pos_sims > th)) / denom
-        result.append(recall)
+    result = [float(np.sum(pos_sims > th)) / denom for th in ths]
     return result, list(fars)
 
 

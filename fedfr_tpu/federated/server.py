@@ -374,19 +374,34 @@ class Server:
             q: "_queue.Queue" = _queue.Queue(
                 maxsize=max(1, cfg.data.prefetch))
             perr: list = []
+            pstop = _threading.Event()
 
             def _produce():
                 try:
                     for _ in range(n_dispatches):
+                        if pstop.is_set():
+                            return
                         batches = [next(it) for it in iters]
                         batches += [batches[0]] * pad  # slots discarded later
                         imgs, labels, valid = stack_client_batches(batches)
-                        q.put((jax.device_put(imgs, batch_shard),
-                               jax.device_put(labels, batch_shard),
-                               jax.device_put(valid, batch_shard)))
+                        item = (jax.device_put(imgs, batch_shard),
+                                jax.device_put(labels, batch_shard),
+                                jax.device_put(valid, batch_shard))
+                        while not pstop.is_set():
+                            try:
+                                q.put(item, timeout=0.2)
+                                break
+                            except _queue.Full:
+                                continue
                 except Exception as e:  # propagated after join
                     perr.append(e)
-                    q.put(None)
+                    # the error sentinel must arrive or the consumer hangs
+                    while not pstop.is_set():
+                        try:
+                            q.put(None, timeout=0.2)
+                            break
+                        except _queue.Full:
+                            continue
 
             producer = _threading.Thread(target=_produce, daemon=True)
             producer.start()
@@ -394,26 +409,34 @@ class Server:
             metrics = None
             loss_acc = np.zeros(K)
             step_no = 0
-            for epoch in range(self.local_epoch):
-                lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
-                             cfg.optim.lr_gamma)
-                for s in range(steps_per_epoch):
-                    batch = q.get()
-                    if batch is None:
-                        raise perr[0]
-                    imgs_d, labels_d, valid_d = batch
-                    stacked, metrics = step_fn(
-                        stacked, global_repl, last_stacked,
-                        imgs_d, labels_d, valid_d,
-                        jnp.float32(lr), keys, step_no)
-                    step_no += 1
-                # per-epoch metric pull, as the sequential loop does — the
-                # reported loss is the mean over epochs of each epoch's last
-                # step (identical semantics on both paths)
-                loss_acc += np.asarray(jax.device_get(metrics).loss)
-                logger.info("parallel group %s epoch %d/%d done",
-                            group, epoch + 1, self.local_epoch)
-            producer.join()
+            try:
+                for epoch in range(self.local_epoch):
+                    lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
+                                 cfg.optim.lr_gamma)
+                    for s in range(steps_per_epoch):
+                        batch = q.get()
+                        if batch is None:
+                            raise perr[0]
+                        imgs_d, labels_d, valid_d = batch
+                        stacked, metrics = step_fn(
+                            stacked, global_repl, last_stacked,
+                            imgs_d, labels_d, valid_d,
+                            jnp.float32(lr), keys, step_no)
+                        step_no += 1
+                    # per-epoch metric pull, as the sequential loop does —
+                    # the reported loss is the mean over epochs of each
+                    # epoch's last step (identical semantics on both paths)
+                    loss_acc += np.asarray(jax.device_get(metrics).loss)
+                    logger.info("parallel group %s epoch %d/%d done",
+                                group, epoch + 1, self.local_epoch)
+            finally:
+                pstop.set()
+                while True:  # unblock a producer stuck on a bounded put
+                    try:
+                        q.get_nowait()
+                    except _queue.Empty:
+                        break
+                producer.join()
 
             avg_loss = loss_acc / max(self.local_epoch, 1)
             states = unstack_tree(jax.device_get(stacked), K)

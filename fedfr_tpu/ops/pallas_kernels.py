@@ -163,7 +163,13 @@ def roc_histogram_pair(fi, li, ti, gi, fj, lj, rj, gj, *, tile_i: int,
 
     e = fi.shape[1]
     grid = (fi.shape[0] // tile_i, fj.shape[0] // tile_j)
+    # the VMEM scratch reshapes the (tile_i, tile_j) block into
+    # (n_chunks, chunk): chunk must divide the block size exactly, so halve
+    # until it does (callers passing non-power-of-two tiles would otherwise
+    # hit an opaque reshape error inside the kernel)
     chunk = min(8192, tile_i * tile_j)
+    while (tile_i * tile_j) % chunk:
+        chunk //= 2
     return pl.pallas_call(
         functools.partial(_roc_hist_kernel, bins=bins, chunk=chunk),
         grid=grid,

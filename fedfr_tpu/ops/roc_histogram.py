@@ -123,14 +123,15 @@ def pairwise_roc_histogram_device(feats, labels, target_size: int,
 
     ``feats``/``labels`` may be jnp or np; they are padded to tile multiples.
     """
-    import math
-
     n, e = np.shape(feats)
     tile_i = min(tile_i, n)
     tile_j = min(tile_j, max(n, 1))
-    step = math.lcm(tile_i, tile_j)
-    npad = ((n + step - 1) // step) * step
     num_i = (min(target_size, n) + tile_i - 1) // tile_i  # i covers targets only
+    # pad to a tile_j multiple that also covers the i-tile span — NOT
+    # lcm(tile_i, tile_j), which blew up 64-256x for mid-size inputs
+    # (e.g. n=5000, tile_j=5000, tile_i=1024 -> lcm 640000 rows / 1.3 GB)
+    need = max(n, num_i * tile_i)
+    npad = ((need + tile_j - 1) // tile_j) * tile_j
     gidx = jnp.arange(npad, dtype=jnp.int32)
 
     f = jnp.asarray(feats)
@@ -156,8 +157,6 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
     shard runs the fused Pallas kernel (pallas_kernels.roc_histogram_pair);
     elsewhere the XLA sort-based scan.
     """
-    import math
-
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -173,9 +172,12 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
     else:
         tile_i = min(tile_i, n)
         tile_j = min(tile_j, max(n // nd, 1))
-    step = math.lcm(tile_j * nd, tile_i)
-    npad = ((n + step - 1) // step) * step
     num_i = (min(target_size, n) + tile_i - 1) // tile_i
+    # pad to a (tile_j * nd) multiple covering the i-tile span (see the
+    # single-device path: lcm-based padding exploded for mid-size n)
+    step = tile_j * nd
+    need = max(n, num_i * tile_i)
+    npad = ((need + step - 1) // step) * step
 
     f = jnp.asarray(feats)
     l = jnp.asarray(labels).astype(jnp.int32)
