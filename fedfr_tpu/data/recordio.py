@@ -123,6 +123,7 @@ class IndexedRecordReader:
     """
 
     def __init__(self, idx_path: str, rec_path: str):
+        self.rec_path = rec_path
         self._fd = os.open(rec_path, os.O_RDONLY)
         self._offsets: Dict[int, int] = {}
         with open(idx_path) as f:

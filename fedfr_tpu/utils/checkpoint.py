@@ -84,9 +84,10 @@ class RoundCheckpointer:
 
     def __init__(self, directory: str):
         self.directory = directory
+        self.last_extra: dict = {}
         os.makedirs(directory, exist_ok=True)
 
-    def save(self, server) -> str:
+    def save(self, server, extra: Optional[dict] = None) -> str:
         import jax
 
         state = {
@@ -108,7 +109,11 @@ class RoundCheckpointer:
         meta = {"global_round": server.global_round,
                 "global_epoch": server.global_epoch,
                 "local_epoch": server.local_epoch,
-                "train_decay": server.train_decay}
+                "train_decay": server.train_decay,
+                # the client-sampling RNG: without it a resumed run with
+                # client_sampled_ratio < 1 repeats the fresh-run draws
+                "rng_state": server.rng.bit_generator.state,
+                "extra": extra or {}}
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
         return path + ".npz"
@@ -143,4 +148,9 @@ class RoundCheckpointer:
         server.global_epoch = meta["global_epoch"]
         server.local_epoch = meta["local_epoch"]
         server.train_decay = meta["train_decay"]
+        if "rng_state" in meta:
+            server.rng.bit_generator.state = meta["rng_state"]
+        # caller-owned state saved via ``extra`` (e.g. the verification
+        # callback's best-accuracy table, train.py)
+        self.last_extra = meta.get("extra", {})
         return round_idx

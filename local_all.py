@@ -58,6 +58,14 @@ def main(args):
         if os.path.exists(bp):
             bce_params = torch_interop.bce_from_torch(
                 torch_interop.load_pth(bp))["params"]
+        else:
+            # native fallback written when the converter has no torch
+            # export (server.save_client_checkpoints for BottleBlock)
+            bn = os.path.join(base, f"bce_module{suffix}.npz")
+            if os.path.exists(bn):
+                from fedfr_tpu.utils.checkpoint import load_native
+
+                bce_params = load_native(bn)["params"]
         return variables, bce_params
 
     results = []
@@ -77,16 +85,19 @@ def main(args):
             gfeats, glabels = embed_dataset(embed_fn_plain, variables, gal,
                                             args.batch_size)
             gallery_feats, gallery_labels = gfeats, glabels
+        gallery_means = None
+        if args.task == "1:n":  # loop-invariant: compute once, slice per client
+            gallery_means = class_mean_features(gallery_feats, gallery_labels,
+                                                args.num_ids)
         for c in range(args.num_client):
             start, end = c * ids_per_client, (c + 1) * ids_per_client
             if args.task == "1:1":
                 tables.append(local_11_roc(feats, labels, start, end,
                                            epoch=args.epoch, output_dir=log_dir))
             else:
-                cg = class_mean_features(
-                    gallery_feats, gallery_labels, args.num_ids)[start:end]
+                cg = gallery_means[start:end]
                 mask = client_query_mask(labels, start, end)
-                res, fars = open_set_identification(feats.copy(), cg, mask)
+                res, fars = open_set_identification(feats, cg, mask)
                 results.append(res)
     else:  # multi
         gal = None
@@ -113,7 +124,7 @@ def main(args):
                                                     args.batch_size)
                 cg = class_mean_features(gfeats, glabels - start, ids_per_client)
                 mask = client_query_mask(labels, start, end)
-                res, fars = open_set_identification(feats.copy(), cg, mask)
+                res, fars = open_set_identification(feats, cg, mask)
                 results.append(res)
 
     if args.task == "1:1":

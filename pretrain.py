@@ -71,15 +71,13 @@ def main(args):
         sampled = False
 
     def loss_fn(params, batch_stats, weight, x, labels, rng):
-        vars_ = {"params": params}
         if batch_stats is not None:
-            vars_["batch_stats"] = batch_stats
-        if batch_stats is not None:
-            feats, mutated = backbone.apply(vars_, x, train=True,
-                                            mutable=["batch_stats"])
+            feats, mutated = backbone.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"])
             new_bs = mutated["batch_stats"]
         else:
-            feats = backbone.apply(vars_, x, train=True)
+            feats = backbone.apply({"params": params}, x, train=True)
             new_bs = None
         if sampled:
             loss = pfc(rng, feats, labels, weight)

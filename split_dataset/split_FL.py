@@ -34,10 +34,21 @@ np.random.seed(100)
 
 
 def build_id_index(reader: IndexedRecordReader, cache_path: str):
-    """Map identity -> [record keys], cached (reference split_FL.py:57-76)."""
+    """Map identity -> [record keys], cached (reference split_FL.py:57-76).
+
+    The cache is validated against the source rec identity (path + size):
+    re-running with a different --data_dir into the same output_dir must
+    rebuild, not silently reuse record keys from the previous rec.
+    """
+    src = getattr(reader, "rec_path", None) or ""
+    src_key = (os.path.abspath(src),
+               os.path.getsize(src) if src and os.path.exists(src) else -1)
     if os.path.exists(cache_path):
         with open(cache_path, "rb") as f:
-            return pickle.load(f)
+            cached = pickle.load(f)
+        if isinstance(cached, dict) and cached.get("src_key") == list(src_key):
+            return cached["id_dict"]
+        # stale or legacy cache: rebuild
     header, _ = reader.read_idx(0)
     n = int(np.asarray(header.label).reshape(-1)[0]) - 1 if header.flag > 0 else len(reader.keys) - 1
     id_dict = defaultdict(list)
@@ -45,7 +56,8 @@ def build_id_index(reader: IndexedRecordReader, cache_path: str):
         h, _ = reader.read_idx(key)
         id_dict[h.scalar_label].append(key)
     with open(cache_path, "wb") as f:
-        pickle.dump(id_dict, f, protocol=5)
+        pickle.dump({"src_key": list(src_key), "id_dict": id_dict}, f,
+                    protocol=5)
     return id_dict
 
 

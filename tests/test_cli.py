@@ -169,6 +169,14 @@ def test_train_cli_resume(pipeline_root, tmp_path):
     train_cli.main(_train_args(pipeline_root, outdir, total_round=2,
                                resume=True))
     assert os.path.exists(os.path.join(outdir, "rounds", "round_2.meta.json"))
+    # resume fidelity: the round meta carries the client-sampling rng state
+    # and the best-accuracy table, so a resumed run cannot repeat fresh-run
+    # sampling draws or let its first round clobber the saved best model
+    import json
+
+    meta = json.load(open(os.path.join(outdir, "rounds", "round_2.meta.json")))
+    assert "rng_state" in meta and meta["rng_state"]["bit_generator"]
+    assert "extra" in meta and "best" in meta["extra"]
 
 
 def test_local_all_cli(pipeline_root, trained_run, tmp_path):

@@ -142,17 +142,26 @@ def main(args):
     if args.resume:
         restored = ckpt.restore(server)
         logger.info("resumed at round %d", restored)
+        # restore the best-accuracy table so the first post-resume round
+        # cannot masquerade as "best" and clobber the saved best model
+        best = ckpt.last_extra.get("best")
+        if bin_cb is not None and best and len(best) == len(bin_cb.highest):
+            bin_cb.highest = [tuple(b) for b in best]
 
     # multi-chip: train clients concurrently over the mesh client axis
     import jax
 
     mesh = None
-    if cfg.fed.client_parallel and len(jax.devices()) > 1:
+    if (cfg.fed.client_parallel and len(jax.devices()) > 1
+            and cfg.fed.add_pretrained_data):  # matches the dispatch below
         from fedfr_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
         logger.info("client-parallel training over %d devices",
                     mesh.shape["client"])
+    elif cfg.fed.client_parallel and len(jax.devices()) > 1:
+        logger.info("client-parallel requires --add_pretrained_data; "
+                    "running the sequential round loop")
 
     from fedfr_tpu.utils.profiling import SpanTimer, xla_trace
 
@@ -181,7 +190,8 @@ def main(args):
                                      f"backbone_{server.global_round}.npz"))
         server.save_client_checkpoints(cfg.runtime.output_dir)
         server.advance_round()
-        ckpt.save(server)
+        ckpt.save(server, extra={
+            "best": [list(h) for h in bin_cb.highest] if bin_cb else []})
     timer.report(logger)
     logger.info("training done")
 
