@@ -97,10 +97,10 @@ def test_full_objective_gradients_match_reference():
     (jloss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     # loss parity
-    np.testing.assert_allclose(float(jloss), float(tloss), rtol=2e-4)
-    np.testing.assert_allclose(float(parts[0]), float(cos_l), rtol=2e-4)
-    np.testing.assert_allclose(float(parts[1]), float(bce_l), rtol=2e-3)
-    np.testing.assert_allclose(float(parts[2]), float(con_l), rtol=2e-4)
+    np.testing.assert_allclose(float(jloss), float(tloss.detach()), rtol=2e-4)
+    np.testing.assert_allclose(float(parts[0]), float(cos_l.detach()), rtol=2e-4)
+    np.testing.assert_allclose(float(parts[1]), float(bce_l.detach()), rtol=2e-3)
+    np.testing.assert_allclose(float(parts[2]), float(con_l.detach()), rtol=2e-4)
 
     def cmp(jg, tg, name, atol):
         jg = np.asarray(jg, dtype=np.float64).reshape(-1)
