@@ -293,7 +293,9 @@ def test_umeyama_recovers_similarity():
 
 
 def _template_oracle(img_feats, templates, medias, choose=None):
-    """Literal port of image2template_feature_11 (ijbc_all.py:225-259)."""
+    """Independent loop-based oracle of the template-aggregation protocol
+    (semantics of ijbc_all.py:225-259; written from the SURVEY description,
+    not copied)."""
     unique_templates = np.unique(choose if choose is not None else templates)
     out = np.zeros((len(unique_templates), img_feats.shape[1]))
     for c, uqt in enumerate(unique_templates):
@@ -410,7 +412,7 @@ def test_load_bin_resize_short_and_cache(tmp_path):
     # foreign/corrupt .pkl is ignored, not trusted
     with open(cache, "wb") as f:
         f.write(b"not a pickle")
-    with _pytest.raises(Exception):
+    with _pytest.raises(FileNotFoundError):
         load_bin(path, image_size=(112, 112))  # falls through to missing .bin
 
 
