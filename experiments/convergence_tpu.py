@@ -116,7 +116,7 @@ def parse_progression(run_dir):
     agedb = [(int(m.group(1)), float(m.group(2))) for m in re.finditer(
         r"\[agedb_30\]\[(\d+)\]Accuracy-Flip: ([0-9.]+)", log)]
     # local TPR lines: per client, epoch -1 is the pretrain baseline
-    tprs = [(int(m.group(1)), eval(m.group(2))) for m in re.finditer(
+    tprs = [(int(m.group(1)), json.loads(m.group(2))) for m in re.finditer(
         r"Epoch (-?\d+), TPR \(-1 to -6\) = (\[[^\]]*\])", log)]
     return agedb, tprs
 
