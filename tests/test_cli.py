@@ -41,22 +41,10 @@ def pipeline_root(tmp_path_factory):
                 payloads, labels, num_classes=total_ids)
 
     out = root / "ms1m_split"
-    import split_dataset.split_FL as sfl
-    import split_dataset.split_pretrain as spre
+    from tests.helpers import run_split_clis
 
-    argv = sys.argv
-    sys.argv = ["split_FL.py", "--data_dir", str(src), "--output_dir", str(out),
-                "--num_client", str(NUM_CLIENTS), "--num_ID", str(NUM_IDS),
-                "--min_imgs", str(IMGS_PER_ID), "--max_imgs", str(IMGS_PER_ID),
-                "--test_imgs", str(TEST_IMGS)]
-    try:
-        sfl.main()
-        sys.argv = ["split_pretrain.py", "--data_dir", str(src), "--output_dir",
-                    str(out), "--num_client", "1", "--num_ID", "4",
-                    "--min_imgs", str(IMGS_PER_ID), "--max_imgs", str(IMGS_PER_ID)]
-        spre.main()
-    finally:
-        sys.argv = argv
+    run_split_clis(src, out, num_client=NUM_CLIENTS, num_id=NUM_IDS,
+                   imgs_per_id=IMGS_PER_ID, test_imgs=TEST_IMGS, pub_ids=4)
 
     # rename pretrain dir to the expected 6000 suffix layout
     gen = out / "split_pretrain_4"

@@ -105,22 +105,11 @@ def test_full_cli_chain_improves_metrics(tmp_path):
                 payloads, labels, num_classes=3 * num_ids)
 
     out = tmp_path / "out"
-    import split_dataset.split_FL as sfl
-    import split_dataset.split_pretrain as spre
+    from tests.helpers import run_split_clis
 
-    argv = sys.argv
-    sys.argv = ["split_FL.py", "--data_dir", str(src), "--output_dir", str(out),
-                "--num_client", str(num_clients), "--num_ID", str(num_ids),
-                "--min_imgs", str(imgs_per_id), "--max_imgs", str(imgs_per_id),
-                "--test_imgs", str(test_imgs)]
-    try:
-        sfl.main()
-        sys.argv = ["split_pretrain.py", "--data_dir", str(src),
-                    "--output_dir", str(out), "--num_ID", str(pub_ids),
-                    "--min_imgs", str(imgs_per_id), "--max_imgs", str(imgs_per_id)]
-        spre.main()
-    finally:
-        sys.argv = argv
+    run_split_clis(src, out, num_client=num_clients, num_id=num_ids,
+                   imgs_per_id=imgs_per_id, test_imgs=test_imgs,
+                   pub_ids=pub_ids)
     (out / f"split_pretrain_{pub_ids}").rename(out / "split_pretrain_6000")
 
     veri_dir = str(out / f"local_veri_{num_ids}")
