@@ -18,6 +18,65 @@ import jax
 import jax.numpy as jnp
 
 
+def prefetched(iterable, depth: int = 2):
+    """Pull items from ``iterable`` in a background thread with ``depth``
+    lookahead.
+
+    Safe against an abandoned consumer (exception in the consuming loop
+    body, GeneratorExit): a stop event + bounded puts keep the producer from
+    blocking forever on a full queue, and the sentinel delivery is
+    guaranteed (a dropped sentinel would hang the consumer at q.get).
+    Shared by DevicePrefetcher and the server's client-parallel batch
+    producer.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    error: list = []
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for item in iterable:
+                if stop.is_set():
+                    return
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except Exception as e:  # pragma: no cover - propagated below
+            error.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+    finally:  # also runs on GeneratorExit (abandoned iteration)
+        stop.set()
+        while True:  # drain so the producer's bounded put unblocks
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join()
+    if error:
+        raise error[0]
+
+
 class DevicePrefetcher:
     """Iterate (device_images, device_labels, device_valid) with lookahead."""
 
@@ -30,59 +89,12 @@ class DevicePrefetcher:
         return len(self.loader)
 
     def epoch(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
-        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
-        sentinel = object()
-        error: list = []
-        stop = threading.Event()
+        def to_device():
+            for imgs, labels, valid in self.loader.epoch():
+                batch = (jnp.asarray(imgs), jnp.asarray(labels),
+                         jnp.asarray(valid))
+                if self.device is not None:
+                    batch = jax.device_put(batch, self.device)
+                yield batch
 
-        def produce():
-            try:
-                for imgs, labels, valid in self.loader.epoch():
-                    if stop.is_set():
-                        return
-                    batch = (jnp.asarray(imgs), jnp.asarray(labels),
-                             jnp.asarray(valid))
-                    if self.device is not None:
-                        batch = jax.device_put(batch, self.device)
-                    # bounded put with a stop check: if the consumer abandons
-                    # the generator (exception in its loop body), a plain
-                    # blocking put would leak the thread + the in-flight
-                    # device batches for the life of the process
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
-                        return
-            except Exception as e:  # pragma: no cover - propagated below
-                error.append(e)
-            finally:
-                # the sentinel MUST arrive (a dropped one hangs the consumer
-                # at q.get) — keep trying unless the consumer abandoned us
-                while not stop.is_set():
-                    try:
-                        q.put(sentinel, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    break
-                yield item
-        finally:  # also runs on GeneratorExit (abandoned iteration)
-            stop.set()
-            while True:  # drain so the producer's bounded put unblocks
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
-            t.join()
-        if error:
-            raise error[0]
+        yield from prefetched(to_device(), self.depth)

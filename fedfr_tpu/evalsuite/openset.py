@@ -35,6 +35,10 @@ def openset_thresholds(sim: np.ndarray, mask: np.ndarray,
     sim[rows, mask[rows]] = -2.0
 
     neg_sims = sim[sim > -2.0]
+    if len(neg_sims) == 0:
+        # degenerate single-row gallery with every probe positive: no
+        # negative pool to estimate FPIR from — accept nothing
+        return pos_sims, [float("inf")] * len(fars)
     required = [math.ceil(q * far) for far in fars]
     k = min(max(required), len(neg_sims))
     if k < len(neg_sims):

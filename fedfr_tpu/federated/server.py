@@ -222,14 +222,15 @@ class Server:
             else:
                 lr = self.cfg.optim.lr
                 if self._plain_step is None:
+                    # NO reweighting here: the reference applies
+                    # reweight_cosface only in the public-data branch
+                    # (client.py:269-285); plain-mode logits have exactly
+                    # num_local columns and reweighting would index past them
                     self._plain_step = make_plain_train_step(
                         self.backbone, margin=cfg.loss.loss,
                         s=cfg.loss.margin_s, m=cfg.loss.margin_m,
                         momentum=cfg.optim.momentum,
-                        weight_decay=cfg.optim.weight_decay,
-                        reweight=cfg.fed.reweight_cosface,
-                        num_local=self.clients[0].num_classes,
-                        num_clients=cfg.data.num_clients)
+                        weight_decay=cfg.optim.weight_decay)
                 stats = client.train(self.federated_vars, self.local_epoch, lr,
                                      step_fn=self._plain_step,
                                      round_seed=self.global_round)
@@ -338,8 +339,14 @@ class Server:
                     round_seed=self.global_round))
             loaders = [p[1] for p in preps]
             steps_per_epoch = max(len(l) for l in loaders)
-            if steps_per_epoch == 0:
-                raise ValueError("combined datasets smaller than the batch size")
+            if min(len(l) for l in loaders) == 0:
+                # one empty loader would make its cycling() generator never
+                # yield and hang the whole group's producer — fail like the
+                # sequential path does (client.py raises per client)
+                empty = [cid for cid, l in zip(group, loaders) if len(l) == 0]
+                raise ValueError(
+                    f"clients {empty}: combined dataset smaller than the "
+                    f"batch size {cfg.data.combined_batch_size}")
 
             def cycling(loader):
                 while True:
@@ -365,47 +372,25 @@ class Server:
                 for cid in members]), client_shard)
 
             # background producer overlaps host decode + the host->device
-            # transfer with TPU compute (the parallel-loop analog of the
-            # sequential path's DevicePrefetcher)
-            import queue as _queue
-            import threading as _threading
+            # transfer with TPU compute (shared machinery with the
+            # sequential path's DevicePrefetcher —
+            # data/pipeline.py::prefetched handles abandoned-consumer
+            # shutdown and guaranteed sentinel delivery)
+            from ..data.pipeline import prefetched
 
             n_dispatches = self.local_epoch * steps_per_epoch
-            q: "_queue.Queue" = _queue.Queue(
-                maxsize=max(1, cfg.data.prefetch))
-            perr: list = []
-            pstop = _threading.Event()
 
-            def _produce():
-                try:
-                    for _ in range(n_dispatches):
-                        if pstop.is_set():
-                            return
-                        batches = [next(it) for it in iters]
-                        batches += [batches[0]] * pad  # slots discarded later
-                        imgs, labels, valid = stack_client_batches(batches)
-                        item = (jax.device_put(imgs, batch_shard),
-                                jax.device_put(labels, batch_shard),
-                                jax.device_put(valid, batch_shard))
-                        while not pstop.is_set():
-                            try:
-                                q.put(item, timeout=0.2)
-                                break
-                            except _queue.Full:
-                                continue
-                except Exception as e:  # propagated after join
-                    perr.append(e)
-                    # the error sentinel must arrive or the consumer hangs
-                    while not pstop.is_set():
-                        try:
-                            q.put(None, timeout=0.2)
-                            break
-                        except _queue.Full:
-                            continue
+            def device_batches():
+                for _ in range(n_dispatches):
+                    batches = [next(it) for it in iters]
+                    batches += [batches[0]] * pad  # slots discarded later
+                    imgs, labels, valid = stack_client_batches(batches)
+                    yield (jax.device_put(imgs, batch_shard),
+                           jax.device_put(labels, batch_shard),
+                           jax.device_put(valid, batch_shard))
 
-            producer = _threading.Thread(target=_produce, daemon=True)
-            producer.start()
-
+            feed = prefetched(device_batches(),
+                              depth=max(1, cfg.data.prefetch))
             metrics = None
             loss_acc = np.zeros(K)
             step_no = 0
@@ -414,10 +399,7 @@ class Server:
                     lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
                                  cfg.optim.lr_gamma)
                     for s in range(steps_per_epoch):
-                        batch = q.get()
-                        if batch is None:
-                            raise perr[0]
-                        imgs_d, labels_d, valid_d = batch
+                        imgs_d, labels_d, valid_d = next(feed)
                         stacked, metrics = step_fn(
                             stacked, global_repl, last_stacked,
                             imgs_d, labels_d, valid_d,
@@ -430,13 +412,7 @@ class Server:
                     logger.info("parallel group %s epoch %d/%d done",
                                 group, epoch + 1, self.local_epoch)
             finally:
-                pstop.set()
-                while True:  # unblock a producer stuck on a bounded put
-                    try:
-                        q.get_nowait()
-                    except _queue.Empty:
-                        break
-                producer.join()
+                feed.close()  # joins the producer even on error
 
             avg_loss = loss_acc / max(self.local_epoch, 1)
             states = unstack_tree(jax.device_get(stacked), K)

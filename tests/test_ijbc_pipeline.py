@@ -117,8 +117,12 @@ def test_run_ijbc_uses_cache_second_time(ijbc_root, tmp_path):
     variables = backbone.init(jax.random.PRNGKey(1),
                               jnp.zeros((1, 112, 112, 3)), train=False)
     embed_fn = auto_embed_fn(backbone)  # sharded on the 8-device test mesh
-    # remove the source crops: only the IJBC_imgs.npy cache can serve the
-    # aligned images now, so a silent cache miss fails loudly
+    # first run populates the IJBC_imgs.npy cache (the test must not depend
+    # on a sibling test having run first)
+    run_ijbc(embed_fn, variables, ijbc_root, str(tmp_path / "warm"),
+             epoch=0, job="1:1", batch_size=4)
+    # remove the source crops: only the cache can serve the aligned images
+    # now, so a silent cache miss fails loudly
     crop = os.path.join(ijbc_root, "loose_crop")
     backup = os.path.join(ijbc_root, "loose_crop_backup")
     shutil.move(crop, backup)
