@@ -131,3 +131,33 @@ def test_batch_loader_shapes_and_padding(tiny_split):
     a = [b[1] for b in BatchLoader(ds, 8, seed=7).epoch()]
     b = [b[1] for b in BatchLoader(ds, 8, seed=7).epoch()]
     np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+
+
+def test_prefetched_normal_and_error_paths():
+    """The shared background-prefetch generator (data/pipeline.py) delivers
+    every item in order, propagates producer exceptions, and terminates its
+    thread when the consumer abandons iteration mid-stream."""
+    import threading
+
+    from fedfr_tpu.data.pipeline import prefetched
+
+    # normal completion: all items, in order
+    assert list(prefetched(iter(range(20)), depth=2)) == list(range(20))
+
+    # producer exception propagates to the consumer
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(prefetched(boom(), depth=1))
+
+    # abandoned consumer: the producer thread must terminate (no leak of a
+    # thread blocked on a full queue)
+    n_before = threading.active_count()
+    gen = prefetched(iter(range(1000)), depth=1)
+    assert next(gen) == 0
+    gen.close()  # GeneratorExit -> stop event -> drain -> join
+    assert threading.active_count() == n_before
