@@ -1,0 +1,220 @@
+"""The reference-scale FedFR workload, measured end-to-end on real TPU.
+
+Drives the run.sh configuration (reference run.sh: sphnet/sphere64, 40
+clients x 100 IDs, lr 0.001, local_epoch 10 adaptively decaying, every FedFR
+mechanism on) through the REAL CLI chain — ``pretrain.py`` then ``train.py``
+— at the TRUE workload multiplicities (420,671-image / 6000-ID public set,
+160k local-verification set, SURVEY.md §6), for a configurable number of
+rounds, and reports measured per-round wall clock, the per-phase breakdown
+(public embed / mining / local train / aggregate / local eval), and memory
+peaks.
+
+Images come from the device-synthetic data plane (``--rec_root synth:...``,
+fedfr_tpu/data/synthetic.py): identity-structured batches generated on
+device.  On this dev rig that is the only honest option — the tunneled PJRT
+relay leaks host RSS 1:1 with uploaded bytes (CLAUDE.md), and a 40-client
+round moves ~400 GB of batches.  The host JPEG data plane is measured
+separately (experiments/input_pipeline_tpu.py); production hosts feed real
+data over PCIe at rates this workload never saturates.
+
+Usage:
+    python experiments/fullscale_tpu.py --work_dir /tmp/fullscale \
+        [--rounds 2] [--pretrain_epochs 2] [--quick]
+"""
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FULL_SPEC = "synth:clients=40,ids_per_client=100"
+QUICK_SPEC = ("synth:clients=4,ids_per_client=8,public_ids=60,"
+              "public_imgs=4000,veri_ids=32,veri_imgs=8")
+
+
+def make_synth_bin(out_path: str, spec: str, n_pairs: int, image_size: int,
+                   seed: int = 100) -> None:
+    """AgeDB-style pair .bin from the synthetic universe's veri split (raw
+    codec payloads; verification decodes them like any rec image)."""
+    import pickle
+
+    from fedfr_tpu.data import codec
+    from fedfr_tpu.data.synthetic import build_fl_synthetic, parse_synth_spec
+
+    sp = parse_synth_spec(spec)
+    sp["image_size"] = image_size
+    veri = build_fl_synthetic(sp)["veri"]
+    labels = veri.all_labels()
+    by_id = {}
+    for i, l in enumerate(labels):
+        by_id.setdefault(int(l), []).append(i)
+    ids = sorted(by_id)
+    rng = np.random.default_rng(seed + 3)
+    picks = []
+    issame = []
+    for p in range(n_pairs):
+        if p % 2 == 0:
+            pid = ids[rng.integers(len(ids))]
+            a, b = rng.choice(by_id[pid], size=2, replace=False)
+            issame.append(True)
+        else:
+            i1, i2 = rng.choice(len(ids), size=2, replace=False)
+            a = rng.choice(by_id[ids[i1]])
+            b = rng.choice(by_id[ids[i2]])
+            issame.append(False)
+        picks.extend([int(a), int(b)])
+    # batched device generation, chunked download (<=100 imgs ~ 3.7 MB)
+    bins = []
+    for s in range(0, len(picks), 100):
+        imgs, _ = veri.device_batch(np.asarray(picks[s:s + 100]))
+        for im in np.asarray(imgs):
+            bins.append(codec.encode_raw(im))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "wb") as f:
+        pickle.dump((bins, issame), f)
+
+
+RUN_ENV = dict(os.environ)
+
+
+def run(cmd, log_path=None):
+    print("+", " ".join(cmd), flush=True)
+    t0 = time.time()
+    with open(log_path, "a") if log_path else open(os.devnull, "w") as sink:
+        p = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT, text=True, env=RUN_ENV)
+        for line in p.stdout:
+            print(line, end="", flush=True)
+            sink.write(line)
+        p.wait()
+    if p.returncode != 0:
+        raise RuntimeError(f"{cmd[0]} {cmd[1]} failed rc={p.returncode}")
+    return time.time() - t0
+
+
+def parse_training_log(path: str):
+    """Round wall-clocks, cumulative phase totals per round, memory lines."""
+    text = open(path).read()
+    # timestamped round starts
+    stamps = [(m.group(1), int(m.group(2))) for m in re.finditer(
+        r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}).*====== Round (\d+) ======",
+        text)]
+    phases = {}
+    for m in re.finditer(r"span (phase/\S+)\s+total\s+([0-9.]+)s", text):
+        phases.setdefault(m.group(1), []).append(float(m.group(2)))
+    mem = [(float(m.group(1)), float(m.group(2)), float(m.group(3)))
+           for m in re.finditer(
+               r"device in_use (\d+) MB peak (\d+) MB \| host maxrss (\d+) MB",
+               text)]
+    mined = [int(m.group(1)) for m in re.finditer(
+        r"(\d+) imgs \((\d+) IDs\) hard negative", text)]
+    losses = [float(m.group(1)) for m in re.finditer(
+        r"avg client loss ([0-9.\-naif]+)", text)]
+    return stamps, phases, mem, mined, losses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work_dir", default="/tmp/fullscale")
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--pretrain_epochs", type=int, default=2)
+    ap.add_argument("--local_epoch", type=int, default=10)
+    ap.add_argument("--network", default="sphnet")
+    ap.add_argument("--embedding_size", type=int, default=512)
+    ap.add_argument("--quick", action="store_true",
+                    help="miniature multiplicities (CI / smoke)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the CLI subprocesses on the CPU backend")
+    ap.add_argument("--skip_pretrain", action="store_true",
+                    help="reuse work_dir/pre from an earlier run")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume train.py from its round checkpoints")
+    args = ap.parse_args()
+
+    if args.cpu:
+        RUN_ENV["JAX_PLATFORMS"] = "cpu"
+    spec = QUICK_SPEC if args.quick else FULL_SPEC
+    w = args.work_dir
+    pre = os.path.join(w, "pre")
+    run_dir = os.path.join(w, "run")
+    val_dir = os.path.join(w, "val")
+    if not (args.skip_pretrain or args.resume) and os.path.exists(w):
+        shutil.rmtree(w)
+    os.makedirs(w, exist_ok=True)
+
+    summary = {"spec": spec, "rounds": args.rounds}
+
+    if not (args.skip_pretrain and os.path.exists(
+            os.path.join(pre, "fc.pth"))) and not args.resume:
+        dt = run([sys.executable, "pretrain.py", "--data_dir", spec,
+                  "--output_dir", pre, "--network", args.network,
+                  "--embedding_size", str(args.embedding_size),
+                  "--batch_size", "512" if not args.quick else "64",
+                  "--num_epoch", str(args.pretrain_epochs),
+                  "--lr", "0.001", "--lr_steps", ""])
+        summary["pretrain_s"] = round(dt, 1)
+
+    bin_path = os.path.join(val_dir, "agedb_30.bin")
+    if not os.path.exists(bin_path):
+        make_synth_bin(bin_path, spec, n_pairs=1000 if not args.quick else 64,
+                       image_size=112)
+
+    # run.sh flag surface + the at-scale runtime knobs (device-resident
+    # client states, client artifacts off, round state for resume)
+    cmd = [sys.executable, "train.py",
+           "--pretrained_root", pre, "--network", args.network,
+           "--output_dir", run_dir, "--loss", "CosFace",
+           "--batch_size", "64",
+           "--num_client", spec_val(spec, "clients"),
+           "--num_ids", str(int(spec_val(spec, "clients"))
+                            * int(spec_val(spec, "ids_per_client"))),
+           "--client_sampled_ratio", "1.0", "--lr", "0.001",
+           "--total_round", str(args.rounds),
+           "--local_epoch", str(args.local_epoch), "--fedface",
+           "--add_pretrained_data", "--combine_dataset", "--contrastive_bb",
+           "--return_all", "--BCE_local", "--adaptive_local_epoch",
+           "--embedding_size", str(args.embedding_size),
+           "--rec_root", spec, "--local_rec", "synth",
+           "--val_root", val_dir,
+           "--device_cache", "--client_ckpt_every", "0",
+           "--round_ckpt_every", "1"]
+    if args.resume:
+        cmd.append("--resume")
+    dt = run(cmd)
+    summary["train_total_s"] = round(dt, 1)
+
+    stamps, phases, mem, mined, losses = parse_training_log(
+        os.path.join(run_dir, "training.log"))
+    summary["round_stamps"] = stamps
+    # cumulative -> per-round deltas
+    for name, vals in phases.items():
+        deltas = [round(b - a, 1) for a, b in zip([0.0] + vals[:-1], vals)]
+        summary[name] = deltas
+    summary["memory_mb"] = mem
+    if mined:
+        summary["mined_imgs_per_client"] = {
+            "min": int(np.min(mined)), "mean": int(np.mean(mined)),
+            "max": int(np.max(mined))}
+    summary["avg_client_loss"] = losses
+    print(json.dumps(summary, indent=2))
+    with open(os.path.join(w, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+def spec_val(spec: str, key: str) -> str:
+    from fedfr_tpu.data.synthetic import parse_synth_spec
+
+    return str(parse_synth_spec(spec)[key])
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,8 @@ class ModelConfig:
                                         # (mirrors reference fp16 autocast, iresnet.py:158-172)
     converter_layers: int = 1           # BCE transformation layer: 1=linear, else BottleBlock
     scan_blocks: bool = False           # nn.scan repeated blocks (faster compile)
+    freeze_bn: bool = False             # BN in inference mode during training
+                                        # (reference freeze_BN, iresnet.py:140-156)
 
 
 @dataclass
@@ -121,6 +123,14 @@ class RuntimeConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None  # (client, data, model); None = auto
     log_every: int = 40
     profile: bool = False
+    device_cache: bool = False          # keep client/global backbones device-
+                                        # resident between rounds: a round moves
+                                        # no backbone bytes host<->device
+    client_ckpt_every: int = 1          # per-client artifact save period in
+                                        # rounds (0 = never; reference saves
+                                        # every round, client.py:484-495)
+    round_ckpt_every: int = 1           # global backbone_%d + resume-state
+                                        # save period in rounds (0 = never)
 
 
 @dataclass

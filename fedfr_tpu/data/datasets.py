@@ -25,6 +25,7 @@ import numpy as np
 
 from . import codec
 from .recordio import IndexedRecordReader, SplitMeta, read_split_meta
+from .synthetic import is_synth_spec as is_synth_root
 
 
 class FaceRecordDataset:
@@ -131,6 +132,16 @@ class CombinedDataset:
         self.local_len = len(local)
         self.shift = int(local.num_classes or 0)
         self.num_classes = (local.num_classes or 0) + (public.num_classes or 0)
+        if self.is_device_synthetic:
+            assert (local.seed == public.seed
+                    and local.image_size == public.image_size
+                    and local.noise == public.noise), \
+                "combined synthetic splits must share one universe"
+
+    @property
+    def is_device_synthetic(self) -> bool:
+        return (getattr(self.local, "is_device_synthetic", False)
+                and getattr(self.public, "is_device_synthetic", False))
 
     def __len__(self) -> int:
         return self.local_len + len(self.public)
@@ -140,6 +151,36 @@ class CombinedDataset:
             return self.local.read(pos)
         img, label = self.public.read(pos - self.local_len)
         return img, label + self.shift
+
+    def device_batch(self, positions: np.ndarray):
+        """Mixed local+public device-synthetic batch as ONE generator
+        dispatch (both parts must be SyntheticFaceDataset of one universe).
+        Present only when both parts are synthetic — BatchLoader probes via
+        getattr."""
+        from .synthetic import synth_device_batch
+
+        positions = np.asarray(positions)
+        is_local = positions < self.local_len
+        n = len(positions)
+        bw = np.empty(n, np.float32)
+        labels = np.empty(n, np.int32)
+        vec_rows = [np.empty(n, np.int32) for _ in range(4)]
+        for sel, ds, off, shift in ((is_local, self.local, 0, 0),
+                                    (~is_local, self.public, self.local_len,
+                                     self.shift)):
+            if not sel.any():
+                continue
+            k, g, bg, w, dseed, lb = ds.synth_vectors(positions[sel] - off)
+            vec_rows[0][sel] = k
+            vec_rows[1][sel] = g
+            vec_rows[2][sel] = bg
+            vec_rows[3][sel] = dseed
+            bw[sel] = w
+            labels[sel] = lb + shift
+        imgs = synth_device_batch(
+            self.local, (vec_rows[0], vec_rows[1], vec_rows[2], bw,
+                         vec_rows[3]))
+        return imgs, labels
 
     def read_batch(self, positions: np.ndarray):
         positions = np.asarray(positions)
@@ -186,7 +227,30 @@ class BatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
-        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.num_workers = max(1, num_workers)
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    @property
+    def pool(self) -> ThreadPoolExecutor:
+        """Decode thread pool, created on first use (device-synthetic and
+        native-decode epochs never spawn one)."""
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._pool
+
+    def close(self) -> None:
+        """Shut the decode pool down deterministically (instead of leaving
+        worker threads to GC — a 40-client x 20-round run would otherwise
+        accumulate hundreds of abandoned pools)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __enter__(self) -> "BatchLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -195,19 +259,29 @@ class BatchLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def epoch(self):
-        """Yield (images u8 NHWC, labels i32, valid bool) for one epoch."""
+        """Yield (images u8 NHWC, labels i32, valid bool) for one epoch.
+
+        Device-synthetic datasets yield device-resident image arrays (the
+        host never touches pixels); record-backed datasets yield host numpy
+        via the native batch decoder or the thread pool.
+        """
         n = len(self.dataset)
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
         nb = len(self)
         read = self.dataset.read
         read_batch = getattr(self.dataset, "read_batch", None)
+        synthetic = getattr(self.dataset, "is_device_synthetic", False)
         for b in range(nb):
             idx = order[b * bs: (b + 1) * bs]
             valid = np.ones(bs, dtype=bool)
             if len(idx) < bs:
                 valid[len(idx):] = False
                 idx = np.concatenate([idx, np.full(bs - len(idx), idx[0])])
+            if synthetic:
+                imgs, labels = self.dataset.device_batch(idx)
+                yield imgs, labels, valid
+                continue
             batch = read_batch(idx) if read_batch is not None else None
             if batch is not None:
                 imgs, labels = batch
@@ -220,19 +294,49 @@ class BatchLoader:
 
 
 class AllClientData:
-    """All client shards + public train/test splits (reference dataset.py:73-142)."""
+    """All client shards + public train/test splits (reference dataset.py:73-142).
+
+    ``cfg.data.rec_root`` of the form ``synth:key=value,...`` builds a
+    device-synthetic universe at the requested scale instead of reading rec
+    files (see data/synthetic.py) — used to drive the full workload at
+    reference multiplicities on hosts without the dataset mounted.
+    """
 
     def __init__(self, cfg, include_public: bool = True):
         self.cfg = cfg
         self.client_datasets: List[FaceRecordDataset] = []
-        for c in range(cfg.data.num_clients):
-            d = FaceRecordDataset(os.path.join(cfg.data.split_dir, "client_%04d" % c))
-            self.client_datasets.append(d)
+        self.synthetic_universe = None
+        if is_synth_root(cfg.data.rec_root):
+            from .synthetic import build_fl_synthetic, parse_synth_spec
+
+            spec = parse_synth_spec(cfg.data.rec_root)
+            spec["clients"] = cfg.data.num_clients
+            if cfg.data.num_ids:
+                spec["ids_per_client"] = max(
+                    1, cfg.data.num_ids // cfg.data.num_clients)
+            spec["image_size"] = cfg.data.image_size
+            spec["seed"] = cfg.runtime.seed
+            self.synthetic_universe = build_fl_synthetic(spec)
+            self.client_datasets = self.synthetic_universe["clients"]
+            self.public_dataset = (self.synthetic_universe["public"]
+                                   if include_public else None)
+        else:
+            for c in range(cfg.data.num_clients):
+                d = FaceRecordDataset(
+                    os.path.join(cfg.data.split_dir, "client_%04d" % c))
+                self.client_datasets.append(d)
+            self.public_dataset = None
+            if include_public:
+                self.public_dataset = FaceRecordDataset(cfg.data.public_dir)
         self.train_dataset_sizes = [len(d) for d in self.client_datasets]
         self.train_class_sizes = [int(d.num_classes or 0) for d in self.client_datasets]
-        self.public_dataset: Optional[FaceRecordDataset] = None
-        if include_public:
-            self.public_dataset = FaceRecordDataset(cfg.data.public_dir)
 
     def client(self, cid: int) -> FaceRecordDataset:
         return self.client_datasets[cid]
+
+    def veri_dataset(self, veri_dir: str):
+        """The local-verification split: the synthetic universe's veri set
+        under a synth root, else the rec split at ``veri_dir``."""
+        if self.synthetic_universe is not None:
+            return self.synthetic_universe["veri"]
+        return FaceRecordDataset(veri_dir, prefix="test")

@@ -8,6 +8,7 @@ FC) persist on host, and the train state is assembled on device per round.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 from typing import Any, Dict, Optional
 
@@ -23,6 +24,24 @@ from .embed import auto_embed_fn, class_mean_features, embed_dataset, hard_negat
 from .trainer import init_client_state, make_branch_train_step, make_plain_train_step
 
 logger = logging.getLogger("fedfr_tpu.client")
+
+
+@jax.jit
+def _metrics_sum(acc, m):
+    """Running on-device sum of the four loss components — one tiny fused
+    add per step instead of a per-step host sync, so the reported average
+    is the all-step mean (reference AverageMeter semantics,
+    client.py:349-352,404) at zero pipeline cost."""
+    return acc + jnp.stack(list(m))
+
+
+def _clone_tree(tree):
+    """Fresh device buffers for a pytree (host arrays upload).
+
+    The train step donates its state; cloning here keeps the server's
+    device-resident global model (and anything else aliasing these buffers)
+    valid after donation."""
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree)
 
 
 class Client:
@@ -63,12 +82,17 @@ class Client:
         self.last_loss = 0.0
         self.trained_backbone: Optional[Dict[str, Any]] = None
         self.global_fc: Optional[np.ndarray] = None
+        self.timer = None  # server-shared SpanTimer (phase breakdown)
 
         # one compiled embed executable is shared across the server and all
         # clients (the Server passes its own in; a per-client auto_embed_fn
         # would trace N copies and, on multi-device meshes, retain N
         # replicated backbone copies in HBM)
         self._embed_fn = embed_fn if embed_fn is not None else auto_embed_fn(backbone)
+
+    def _span(self, name: str):
+        return (self.timer.span(name) if self.timer is not None
+                else contextlib.nullcontext())
 
     # ------------------------------------------------------------- FC init
 
@@ -141,15 +165,16 @@ class Client:
         client-parallel round (server.train_round_parallel).
         """
         cfg = self.cfg
-        if cfg.fed.hn_strategy == "fc":
-            public_subset = self.select_hard_negatives_fc(
-                pretrained_fc, public_dataset, public_labels,
-                threshold=cfg.fed.hn_fc_threshold)
-        elif public_feats is not None:
-            public_subset = self.select_hard_negatives(
-                backbone_vars, public_dataset, public_feats, public_labels)
-        else:
-            public_subset = public_dataset
+        with self._span("phase/mining"):
+            if cfg.fed.hn_strategy == "fc":
+                public_subset = self.select_hard_negatives_fc(
+                    pretrained_fc, public_dataset, public_labels,
+                    threshold=cfg.fed.hn_fc_threshold)
+            elif public_feats is not None:
+                public_subset = self.select_hard_negatives(
+                    backbone_vars, public_dataset, public_feats, public_labels)
+            else:
+                public_subset = public_dataset
         combined = CombinedDataset(self.dataset, public_subset)
         self.dataset_size = len(combined)  # FedAvg weight update (client.py:303)
 
@@ -157,10 +182,13 @@ class Client:
                              seed=cfg.runtime.seed + 17 * round_seed + self.cid,
                              drop_last=True, num_workers=cfg.data.num_workers)
 
-        # assemble device state: fc = [local ; global] (client.py:313)
+        # assemble device state: fc = [local ; global] (client.py:313).
+        # The backbone is CLONED into the state: the step donates its state
+        # buffers, and under --device_cache the incoming tree aliases the
+        # server's device-resident global model.
         fc = jnp.concatenate([jnp.asarray(self.fc_local), jnp.asarray(pretrained_fc)])
         state = init_client_state(
-            jax.tree_util.tree_map(jnp.asarray, backbone_vars), fc,
+            _clone_tree(backbone_vars), fc,
             jax.tree_util.tree_map(jnp.asarray, self.bce_vars))
         last_vars = (jax.tree_util.tree_map(jnp.asarray, self.last_backbone)
                      if self.last_backbone is not None
@@ -168,21 +196,36 @@ class Client:
         return combined, loader, state, last_vars
 
     def finalize_local_run(self, state, avg_loss: float) -> None:
-        """Persist the trained state on host (client.py:468-508)."""
+        """Persist the trained state (client.py:468-508).
+
+        The FC / BCE heads always come back to host (small, and consumed by
+        host-side bookkeeping: SpreadOut, FC FedAvg, checkpointing).  The
+        trained backbone comes to host too UNLESS ``runtime.device_cache``:
+        then it stays device-resident — aggregation and the next round's
+        contrastive forward read it in place, so a round moves no backbone
+        bytes over the host link at all.  The optimizer momentum is dropped
+        either way (the reference builds a fresh SGD per local run,
+        client.py:335).
+        """
         if not np.isfinite(avg_loss):
             logger.warning(
                 "client %d: NON-FINITE loss %r — the local run diverged and "
                 "FedAvg will propagate it to the global model (sphere nets "
                 "typically need lr <= 0.001, reference run.sh:2)",
                 self.cid, avg_loss)
-        state = jax.device_get(state)
-        fc_np = np.asarray(state.fc)
+        from ..utils.transfer import chunked_device_get
+
+        fc_np = chunked_device_get(state.fc)
         self.fc_local = fc_np[: self.num_classes]
         self.global_fc = fc_np[self.num_classes:]
-        self.bce_vars = state.bce
-        self.trained_backbone = state.backbone
+        self.bce_vars = (chunked_device_get(state.bce)
+                         if state.bce is not None else None)
+        if self.cfg.runtime.device_cache:
+            self.trained_backbone = state.backbone
+        else:
+            self.trained_backbone = chunked_device_get(state.backbone)
         if self.last_backbone is not None:
-            self.last_backbone = state.backbone
+            self.last_backbone = self.trained_backbone
         self.last_loss = float(avg_loss)
 
     def train_with_public_data(self, backbone_vars, public_dataset,
@@ -219,30 +262,37 @@ class Client:
 
         key = jnp.asarray(jax.random.PRNGKey(
             cfg.runtime.seed + 31 * round_seed + self.cid))
-        loss_sum = np.zeros(4)
+        # all-step loss accumulation happens ON DEVICE (one fused 4-float
+        # add per step); the reported average is the mean over every step of
+        # the run — the reference's AverageMeter semantics
+        # (client.py:349-352,404) — with still only one host sync per epoch
+        acc = jnp.zeros(4)
         n_steps = 0
         cos_trace = []
         for epoch in range(local_epochs):
             lr = step_lr(cfg.optim.lr, epoch, train_decay, cfg.optim.lr_gamma)
             tic = time.time()
             epoch_steps = 0
-            for imgs, labels, valid in loader.epoch():
-                state, metrics = step_fn(state, global_vars, last_vars,
-                                         imgs, labels, valid, lr, key, n_steps)
-                n_steps += 1
-                epoch_steps += 1
-            # pull metrics once per epoch (avoid per-step device sync; this
-            # device_get is also the epoch's completion barrier for timing)
-            m = jax.device_get(metrics)
+            with self._span("phase/local_train"):
+                for imgs, labels, valid in loader.epoch():
+                    state, metrics = step_fn(state, global_vars, last_vars,
+                                             imgs, labels, valid, lr, key,
+                                             n_steps)
+                    acc = _metrics_sum(acc, metrics)
+                    n_steps += 1
+                    epoch_steps += 1
+                # pull the running sums once per epoch (this device_get is
+                # also the epoch's completion barrier for timing)
+                sums = np.asarray(jax.device_get(acc))
             speed = (epoch_steps * cfg.data.combined_batch_size
                      / max(time.time() - tic, 1e-9))
-            loss_sum += np.array([m.loss, m.cos_loss, m.bce_loss, m.con_loss])
-            cos_trace.append(float(m.cos_loss))
+            mean = sums / max(n_steps, 1)
+            cos_trace.append(float(mean[1]))
             logger.info("client %d epoch %d/%d lr %.5f loss %.3f "
                         "(cos %.3f bce %.3f con %.3f) %.1f samples/sec",
                         self.cid, epoch + 1, local_epochs, lr,
-                        float(m.loss), float(m.cos_loss), float(m.bce_loss),
-                        float(m.con_loss), speed)
+                        mean[0], mean[1], mean[2], mean[3], speed)
+        loss_sum = sums
 
         # collapsed-feature diagnostic: with every pair cosine equal (e.g. an
         # exploded pretrained backbone, XNorm ~1e18), the CosFace CE pins at
@@ -261,7 +311,8 @@ class Client:
                     "explosion upstream, e.g. too-high pretrain lr)",
                     self.cid, sat, len(cos_trace))
 
-        self.finalize_local_run(state, loss_sum[0] / max(local_epochs, 1))
+        base_loader.close()
+        self.finalize_local_run(state, loss_sum[0] / max(n_steps, 1))
         return {"loss": self.last_loss, "steps": n_steps,
                 "dataset_size": self.dataset_size}
 
@@ -269,14 +320,13 @@ class Client:
               step_fn=None, round_seed: int = 0) -> Dict[str, float]:
         """Plain CosFace-only local training (client.py:511-571)."""
         cfg = self.cfg
-        loader = DevicePrefetcher(
-            BatchLoader(self.dataset, cfg.data.batch_size, shuffle=True,
-                        seed=cfg.runtime.seed + 17 * round_seed + self.cid,
-                        drop_last=False, num_workers=cfg.data.num_workers),
-            depth=cfg.data.prefetch)
+        base_loader = BatchLoader(
+            self.dataset, cfg.data.batch_size, shuffle=True,
+            seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+            drop_last=False, num_workers=cfg.data.num_workers)
+        loader = DevicePrefetcher(base_loader, depth=cfg.data.prefetch)
         state = init_client_state(
-            jax.tree_util.tree_map(jnp.asarray, backbone_vars),
-            jnp.asarray(self.fc_local), None)
+            _clone_tree(backbone_vars), jnp.asarray(self.fc_local), None)
         if step_fn is None:
             step_fn = make_plain_train_step(
                 self.backbone, margin=cfg.loss.loss, s=cfg.loss.margin_s,
@@ -284,17 +334,25 @@ class Client:
                 weight_decay=cfg.optim.weight_decay)
         key = jnp.asarray(jax.random.PRNGKey(
             cfg.runtime.seed + 31 * round_seed + self.cid))
-        last_loss = jnp.zeros(())
+        loss_acc = jnp.zeros(())
         n_steps = 0
-        for _ in range(local_epochs):
-            for imgs, labels, valid in loader.epoch():
-                state, last_loss = step_fn(state, imgs, labels, valid, lr,
-                                           key, n_steps)
-                n_steps += 1
-        state = jax.device_get(state)
-        self.fc_local = np.asarray(state.fc)
-        self.trained_backbone = state.backbone
-        self.last_loss = float(last_loss)
+        with self._span("phase/local_train"):
+            for _ in range(local_epochs):
+                for imgs, labels, valid in loader.epoch():
+                    state, loss = step_fn(state, imgs, labels, valid, lr,
+                                          key, n_steps)
+                    loss_acc = loss_acc + loss  # on-device running sum
+                    n_steps += 1
+        base_loader.close()
+        from ..utils.transfer import chunked_device_get
+
+        self.fc_local = chunked_device_get(state.fc)
+        if cfg.runtime.device_cache:
+            self.trained_backbone = state.backbone
+        else:
+            self.trained_backbone = chunked_device_get(state.backbone)
+        # all-step mean, as the reference's AverageMeter (client.py:541-548)
+        self.last_loss = float(loss_acc) / max(n_steps, 1)
         self.dataset_size = len(self.dataset)
         return {"loss": self.last_loss, "steps": n_steps,
                 "dataset_size": self.dataset_size}

@@ -45,7 +45,8 @@ class Server:
 
         self.backbone = build_backbone(cfg.model.network, cfg.model.embedding_size,
                                        cfg.model.dropout, cfg.model.bf16,
-                                       scan_blocks=cfg.model.scan_blocks)
+                                       scan_blocks=cfg.model.scan_blocks,
+                                       freeze_bn=cfg.model.freeze_bn)
         self.bce_module = BCEModule(cfg.model.embedding_size,
                                     data.train_class_sizes[0],
                                     cfg.model.converter_layers,
@@ -74,10 +75,15 @@ class Server:
                 key, jnp.zeros((1, hw, hw, 3)), train=False))
             logger.info("train from scratch")
 
+        from ..utils.profiling import SpanTimer
+
+        self.timer = SpanTimer()  # per-phase round breakdown
         self.clients: List[Client] = [
             Client(cid, cfg, data.client(cid), self.backbone, self.bce_module,
                    self.rng, embed_fn=self._embed_fn)
             for cid in range(cfg.data.num_clients)]
+        for c in self.clients:
+            c.timer = self.timer
 
         # clients sampled for per-round local verification (server.py:107)
         self.local_candidates = sorted(
@@ -163,11 +169,29 @@ class Server:
         """Per-round embed of the whole public set for HN mining
         (server.py:242-263).  Features stay resident on device — every
         client's mining kernel reads them without re-upload."""
-        feats, _ = embed_dataset(self._embed_fn, self.federated_vars,
-                                 self.data.public_dataset,
-                                 self.cfg.data.public_batch_size, l2norm=True,
-                                 return_device=True)
+        with self.timer.span("phase/public_embed"):
+            feats, _ = embed_dataset(self._embed_fn, self.federated_vars,
+                                     self.data.public_dataset,
+                                     self.cfg.data.public_batch_size,
+                                     l2norm=True, return_device=True)
+            feats.block_until_ready()
         return feats
+
+    def _ensure_residency(self) -> None:
+        """Under ``runtime.device_cache`` move the global model to device
+        once per round (a fresh or resumed server holds a host tree); a
+        no-op when it is already device-resident."""
+        if self.cfg.runtime.device_cache:
+            self.federated_vars = jax.tree_util.tree_map(jnp.asarray,
+                                                         self.federated_vars)
+
+    def host_federated_vars(self):
+        """The global model as host numpy (chunked fetch when device-resident);
+        checkpoint/interop paths use this instead of touching
+        ``federated_vars`` directly."""
+        from ..utils.transfer import chunked_device_get
+
+        return chunked_device_get(self.federated_vars)
 
     def sample_clients(self) -> List[int]:
         n = self.cfg.data.num_clients
@@ -178,6 +202,7 @@ class Server:
         cfg = self.cfg
         if not self.current_client_list:
             self.current_client_list = self.sample_clients()
+        self._ensure_residency()
 
         public_feats = None
         if cfg.fed.add_pretrained_data and cfg.fed.hn_strategy != "fc":
@@ -246,19 +271,26 @@ class Server:
         logger.info("round %d avg client loss %.5f", self.global_round,
                     float(np.mean(losses)))
 
-        # FedAvg over every leaf, BN stats included (server.py:322-338);
-        # streamed one client at a time so peak HBM stays at one state +
-        # accumulator even for 40 x iresnet200
-        self.federated_vars = jax.device_get(
-            streaming_weighted_average(models, weights))
+        with self.timer.span("phase/aggregate"):
+            # FedAvg over every leaf, BN stats included (server.py:322-338);
+            # streamed one client at a time so peak HBM stays at one state +
+            # accumulator even for 40 x iresnet200.  Under device_cache the
+            # client states are already device-resident and the result stays
+            # on device.
+            aggregated = streaming_weighted_average(models, weights)
+            if cfg.runtime.device_cache:
+                self.federated_vars = aggregated
+            else:
+                self.federated_vars = jax.device_get(aggregated)
 
-        if cfg.fed.return_all and fcs:
-            self.pretrained_fc = np.asarray(fedavg_on_fc(
-                jnp.asarray(self.pretrained_fc), jnp.stack([jnp.asarray(f) for f in fcs]),
-                weights, p=1.0))
+            if cfg.fed.return_all and fcs:
+                self.pretrained_fc = np.asarray(fedavg_on_fc(
+                    jnp.asarray(self.pretrained_fc),
+                    jnp.stack([jnp.asarray(f) for f in fcs]),
+                    weights, p=1.0))
 
-        if cfg.fed.spreadout:
-            self.spread_out()
+            if cfg.fed.spreadout:
+                self.spread_out()
 
         return {"avg_loss": float(np.mean(losses))}
 
@@ -284,6 +316,7 @@ class Server:
         cfg = self.cfg
         if not self.current_client_list:
             self.current_client_list = self.sample_clients()
+        self._ensure_residency()
         public_feats = None
         if cfg.fed.add_pretrained_data and cfg.fed.hn_strategy != "fc":
             # FC-row mining never consumes image features; skip the 420k-img
@@ -391,8 +424,9 @@ class Server:
 
             feed = prefetched(device_batches(),
                               depth=max(1, cfg.data.prefetch))
-            metrics = None
-            loss_acc = np.zeros(K)
+            from ..federated.client import _metrics_sum
+
+            acc = jnp.zeros((4, K))
             step_no = 0
             try:
                 for epoch in range(self.local_epoch):
@@ -404,17 +438,17 @@ class Server:
                             stacked, global_repl, last_stacked,
                             imgs_d, labels_d, valid_d,
                             jnp.float32(lr), keys, step_no)
+                        # on-device running sum -> the reported loss is the
+                        # all-step mean (reference AverageMeter semantics),
+                        # identical on the sequential path
+                        acc = _metrics_sum(acc, metrics)
                         step_no += 1
-                    # per-epoch metric pull, as the sequential loop does —
-                    # the reported loss is the mean over epochs of each
-                    # epoch's last step (identical semantics on both paths)
-                    loss_acc += np.asarray(jax.device_get(metrics).loss)
                     logger.info("parallel group %s epoch %d/%d done",
                                 group, epoch + 1, self.local_epoch)
             finally:
                 feed.close()  # joins the producer even on error
 
-            avg_loss = loss_acc / max(self.local_epoch, 1)
+            avg_loss = np.asarray(jax.device_get(acc))[0] / max(step_no, 1)
             states = unstack_tree(jax.device_get(stacked), K)
             for slot, cid in enumerate(group):
                 client = self.clients[cid]
@@ -431,14 +465,16 @@ class Server:
         weights = jnp.asarray(sizes, jnp.float32)
         logger.info("round %d (parallel) avg client loss %.5f",
                     self.global_round, float(np.mean(losses)))
-        self.federated_vars = jax.device_get(
-            streaming_weighted_average(models, weights))
-        if cfg.fed.return_all and fcs:
-            self.pretrained_fc = np.asarray(fedavg_on_fc(
-                jnp.asarray(self.pretrained_fc),
-                jnp.stack([jnp.asarray(f) for f in fcs]), weights, p=1.0))
-        if cfg.fed.spreadout:
-            self.spread_out()
+        with self.timer.span("phase/aggregate"):
+            aggregated = streaming_weighted_average(models, weights)
+            self.federated_vars = (aggregated if cfg.runtime.device_cache
+                                   else jax.device_get(aggregated))
+            if cfg.fed.return_all and fcs:
+                self.pretrained_fc = np.asarray(fedavg_on_fc(
+                    jnp.asarray(self.pretrained_fc),
+                    jnp.stack([jnp.asarray(f) for f in fcs]), weights, p=1.0))
+            if cfg.fed.spreadout:
+                self.spread_out()
         return {"avg_loss": float(np.mean(losses))}
 
     def spread_out(self) -> None:
@@ -473,25 +509,27 @@ class Server:
         os.makedirs(output_dir, exist_ok=True)
         path = os.path.join(output_dir, f"backbone_{self.global_round}.pth")
         sd = torch_interop.backbone_to_torch(self.cfg.model.network,
-                                             self.federated_vars)
+                                             self.host_federated_vars())
         torch_interop.save_pth(sd, path)
         return path
 
     def save_client_checkpoints(self, output_dir: str) -> None:
         """Per-client backbone + bce_module artifacts (client.py:484-495)."""
         from ..utils.checkpoint import save_native
+        from ..utils.transfer import chunked_device_get
 
         for c in self.clients:
             if c.trained_backbone is None:
                 continue
             cdir = os.path.join(output_dir, "clients", f"client_{c.cid}")
             os.makedirs(cdir, exist_ok=True)
+            trained = chunked_device_get(c.trained_backbone)
             try:
                 sd = torch_interop.backbone_to_torch(self.cfg.model.network,
-                                                     c.trained_backbone)
+                                                     trained)
                 torch_interop.save_pth(sd, os.path.join(cdir, "backbone.pth"))
             except NotImplementedError:
-                save_native(c.trained_backbone, os.path.join(cdir, "backbone.npz"))
+                save_native(trained, os.path.join(cdir, "backbone.npz"))
             if c.bce_vars is not None:
                 try:
                     bsd = torch_interop.bce_to_torch(c.bce_vars,

@@ -30,7 +30,11 @@ class ToyNet(nn.Module):
 
 
 def build_backbone(name: str, embedding_size: int = 512, dropout: float = 0.0,
-                   bf16: bool = True, scan_blocks: bool = False) -> nn.Module:
+                   bf16: bool = True, scan_blocks: bool = False,
+                   freeze_bn: bool = False) -> nn.Module:
+    """``freeze_bn`` puts BatchNorm in inference mode during training
+    (reference freeze_BN/unfreeze_BN, iresnet.py:140-156); sphere nets are
+    BN-free so it is a no-op there."""
     if name == "toy":
         return ToyNet(embedding_size=embedding_size)
     if name == "sphnet":
@@ -42,7 +46,8 @@ def build_backbone(name: str, embedding_size: int = 512, dropout: float = 0.0,
     if name.startswith("iresnet"):
         depth = int(name[len("iresnet"):])
         return IResNet(depth=depth, embedding_size=embedding_size,
-                       dropout=dropout, bf16=bf16, scan_blocks=scan_blocks)
+                       dropout=dropout, bf16=bf16, scan_blocks=scan_blocks,
+                       freeze_bn=freeze_bn)
     raise ValueError(f"unknown backbone '{name}'")
 
 

@@ -29,8 +29,12 @@ _tried = False
 def build_library() -> Optional[str]:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           _SRC, "-o", _SO, "-ljpeg", "-lpthread"]
+    # portable codegen by default; FEDFR_NATIVE_ARCH=native (or any -march
+    # value) opts in to host-specific tuning for dedicated deployments
+    arch = os.environ.get("FEDFR_NATIVE_ARCH", "")
+    cmd = (["g++", "-O3"] + ([f"-march={arch}"] if arch else [])
+           + ["-std=c++17", "-shared", "-fPIC",
+              _SRC, "-o", _SO, "-ljpeg", "-lpthread"])
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return _SO

@@ -88,17 +88,17 @@ class RoundCheckpointer:
         os.makedirs(directory, exist_ok=True)
 
     def save(self, server, extra: Optional[dict] = None) -> str:
-        import jax
+        from .transfer import chunked_device_get
 
         state = {
-            "federated": jax.device_get(server.federated_vars),
+            "federated": chunked_device_get(server.federated_vars),
             "pretrained_fc": np.asarray(server.pretrained_fc)
             if server.pretrained_fc is not None else np.zeros(0),
             "clients": {
                 f"c{c.cid}": {
                     "fc_local": np.asarray(c.fc_local),
-                    **({"bce": jax.device_get(c.bce_vars)} if c.bce_vars else {}),
-                    **({"last": jax.device_get(c.last_backbone)}
+                    **({"bce": chunked_device_get(c.bce_vars)} if c.bce_vars else {}),
+                    **({"last": chunked_device_get(c.last_backbone)}
                        if c.last_backbone is not None else {}),
                 }
                 for c in server.clients

@@ -46,7 +46,18 @@ def main(args):
     n_shards = mesh.shape["model"]
     logger.info("partial-FC over %d model shards", n_shards)
 
-    dataset = FaceRecordDataset(args.data_dir)
+    if args.data_dir.startswith("synth:"):
+        # device-synthetic public set at reference scale (data/synthetic.py);
+        # the spec string must match train.py's so the produced fc.pth rows
+        # line up with the same universe's public labels
+        from fedfr_tpu.data.synthetic import build_fl_synthetic, parse_synth_spec
+
+        spec = parse_synth_spec(args.data_dir)
+        spec["image_size"] = args.image_size
+        spec["seed"] = args.seed
+        dataset = build_fl_synthetic(spec)["public"]
+    else:
+        dataset = FaceRecordDataset(args.data_dir)
     num_classes = int(dataset.num_classes)
     labels_all = dataset.all_labels()
     logger.info("public set: %d imgs / %d ids", len(dataset), num_classes)

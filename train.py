@@ -54,6 +54,12 @@ def build_config(args) -> "FedFRConfig":
     cfg.model.embedding_size = args.embedding_size
     cfg.model.scan_blocks = args.scan_blocks
     cfg.data.image_size = args.image_size
+    # getattr: harness code (tests, experiment drivers) may pass trimmed
+    # Namespaces predating these flags
+    cfg.model.freeze_bn = getattr(args, "freeze_bn", False)
+    cfg.runtime.device_cache = getattr(args, "device_cache", False)
+    cfg.runtime.client_ckpt_every = getattr(args, "client_ckpt_every", 1)
+    cfg.runtime.round_ckpt_every = getattr(args, "round_ckpt_every", 1)
     if args.val_targets:
         cfg.runtime.val_targets = args.val_targets.split(",")
     return cfg
@@ -91,10 +97,11 @@ def main(args):
             image_size=(cfg.data.image_size, cfg.data.image_size))
 
     local_cb = None
-    if cfg.data.local_veri_dir and os.path.exists(cfg.data.local_veri_dir):
+    if cfg.data.local_veri_dir and (data.synthetic_universe is not None
+                                    or os.path.exists(cfg.data.local_veri_dir)):
         from fedfr_tpu.evalsuite.local_eval import LocalVerificationCallback
 
-        local_veri = FaceRecordDataset(cfg.data.local_veri_dir, prefix="test")
+        local_veri = data.veri_dataset(cfg.data.local_veri_dir)
         local_cb = LocalVerificationCallback(
             server.backbone, server.bce_module, local_veri,
             cfg.runtime.output_dir, batch_size=cfg.data.eval_batch_size,
@@ -105,14 +112,15 @@ def main(args):
             return None
         accs = bin_cb(server.global_round, server.federated_vars)
         if bin_cb.is_best(server.global_round):
+            host_vars = server.host_federated_vars()
             try:
                 sd = torch_interop.backbone_to_torch(cfg.model.network,
-                                                     server.federated_vars)
+                                                     host_vars)
                 torch_interop.save_pth(sd, os.path.join(cfg.runtime.output_dir,
                                                         "backbone.pth"))
             except NotImplementedError:
                 pass
-            save_native(server.federated_vars,
+            save_native(host_vars,
                         os.path.join(cfg.runtime.output_dir, "backbone.best.npz"))
             logger.info("Save server model, round %d", server.global_round)
         return {"acc": accs}
@@ -130,8 +138,9 @@ def main(args):
             epoch = server.global_epoch + server.local_epoch - 1
         bce_params = (client.bce_vars["params"] if client.bce_vars is not None
                       and epoch != -1 else None)
-        local_cb.veri_test(variables, epoch, client.target_ids, client.cid,
-                           bce_params)
+        with server.timer.span("phase/local_eval"):
+            local_cb.veri_test(variables, epoch, client.target_ids, client.cid,
+                               bce_params)
 
     server.eval_callback = eval_callback
     server.local_eval_callback = local_eval_callback
@@ -182,16 +191,33 @@ def main(args):
                     server.train_round()
         with timer.span("eval"):
             server.test()
-        try:
-            server.save_round_checkpoint(cfg.runtime.output_dir)
-        except NotImplementedError:
-            save_native(server.federated_vars,
-                        os.path.join(cfg.runtime.output_dir,
-                                     f"backbone_{server.global_round}.npz"))
-        server.save_client_checkpoints(cfg.runtime.output_dir)
+        rce = cfg.runtime.round_ckpt_every
+        if rce and server.global_round % rce == 0:
+            try:
+                server.save_round_checkpoint(cfg.runtime.output_dir)
+            except NotImplementedError:
+                save_native(server.host_federated_vars(),
+                            os.path.join(cfg.runtime.output_dir,
+                                         f"backbone_{server.global_round}.npz"))
+        cce = cfg.runtime.client_ckpt_every
+        if cce and server.global_round % cce == 0:
+            server.save_client_checkpoints(cfg.runtime.output_dir)
         server.advance_round()
-        ckpt.save(server, extra={
-            "best": [list(h) for h in bin_cb.highest] if bin_cb else []})
+        if rce and (server.global_round - 1) % rce == 0:
+            ckpt.save(server, extra={
+                "best": [list(h) for h in bin_cb.highest] if bin_cb else []})
+        server.timer.report(logger)  # cumulative per-phase breakdown
+        try:  # device + host memory telemetry (backend-dependent)
+            ms = jax.local_devices()[0].memory_stats() or {}
+            import resource
+
+            logger.info(
+                "memory: device in_use %.0f MB peak %.0f MB | host maxrss %.0f MB",
+                ms.get("bytes_in_use", 0) / 1e6,
+                ms.get("peak_bytes_in_use", 0) / 1e6,
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3)
+        except Exception:
+            pass
     timer.report(logger)
     logger.info("training done")
 
@@ -245,6 +271,18 @@ if __name__ == "__main__":
                         help="capture an XLA trace of the first round")
     parser.add_argument("--scan_blocks", action="store_true",
                         help="nn.scan repeated backbone blocks (faster compile)")
+    parser.add_argument("--freeze_bn", action="store_true",
+                        help="train with BatchNorm in inference mode "
+                             "(reference freeze_BN, iresnet.py:140-156)")
+    parser.add_argument("--device_cache", action="store_true",
+                        help="keep client/global backbones device-resident "
+                             "across rounds (no per-round host round-trips)")
+    parser.add_argument("--client_ckpt_every", type=int, default=1,
+                        help="save per-client artifacts every N rounds "
+                             "(0 = never; reference saves every round)")
+    parser.add_argument("--round_ckpt_every", type=int, default=1,
+                        help="save backbone_%%d + resume state every N "
+                             "rounds (0 = never)")
     # dead reference flags, accepted as no-ops so verbatim reference
     # commands run (reference train.py:109-123; --lr_step is "Not actually
     # used" per train.py:130, the others guard commented-out branches)
