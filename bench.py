@@ -209,6 +209,100 @@ def bench_train_step(jax, jnp, iters: int = 4):
     return ips, flops / B, dt / iters * 1e3
 
 
+def bench_pretrain_step(jax, jnp, sample_rate: float, iters: int = 4):
+    """Class-sharded margin-softmax pretraining step at production shape
+    (sphere64, batch 512, 6000 classes — the SURVEY north-star kernel,
+    reference partial_fc.py:130-176) through the same step construction as
+    pretrain.py.  ``sample_rate < 1`` benches the negative-sampled variant
+    (partial_fc.py:89-106)."""
+    import functools
+
+    from fedfr_tpu.federated.state import train_preprocess
+    from fedfr_tpu.models import build_backbone
+    from fedfr_tpu.parallel.mesh import model_mesh
+    from fedfr_tpu.parallel.partial_fc import (
+        pad_classes,
+        partial_fc_loss,
+        sampled_partial_fc_loss,
+    )
+    from fedfr_tpu.utils.optim import sgd_init, sgd_update
+
+    E, B, C = 512, 512, 6000
+    backbone = build_backbone("sphnet", E, bf16=True, scan_blocks=True)
+    key = jax.random.PRNGKey(0)
+    init = functools.partial(cheap_init, jax, jnp)
+    bvars = init(jax.eval_shape(
+        lambda: backbone.init(key, jnp.zeros((1, 112, 112, 3)), train=False)))
+    mesh = model_mesh()
+    n_shards = mesh.shape["model"]
+    weight = jnp.full((C, E), 1e-2, jnp.float32)
+    weight, num_valid = pad_classes(weight, n_shards)
+    sampled = sample_rate < 1.0
+    if sampled:
+        num_sample = max(1, int(sample_rate * weight.shape[0] // n_shards))
+        pfc = sampled_partial_fc_loss(mesh, num_sample, "CosFace", 64.0, 0.4,
+                                      num_valid=num_valid)
+    else:
+        pfc = partial_fc_loss(mesh, "CosFace", 64.0, 0.4, num_valid=num_valid)
+
+    def loss_fn(params, weight, x, labels, rng):
+        feats = backbone.apply({"params": params}, x, train=True)
+        if sampled:
+            return pfc(rng, feats, labels, weight)
+        return pfc(feats, labels, weight)
+
+    def train_step(params, weight, opt, wopt, u8, labels, rng):
+        prng, srng = jax.random.split(rng)
+        x = train_preprocess(prng, u8)
+        loss, (gp, gw) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, weight, x, labels, srng)
+        params, opt = sgd_update(params, gp, opt, 0.05, 0.9, 5e-4)
+        weight, wopt = sgd_update(weight, gw, wopt, 0.05, 0.9, 5e-4)
+        return params, weight, opt, wopt, loss
+
+    params = bvars["params"]
+    opt, wopt = sgd_init(params), sgd_init(weight)
+    jit_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+    shp = lambda a: jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), a)
+    img_s = jax.ShapeDtypeStruct((B, 112, 112, 3), jnp.uint8)
+    lbl_s = jax.ShapeDtypeStruct((B,), jnp.int32)
+    key_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    compiled = jit_step.lower(shp(params), shp(weight), shp(opt), shp(wopt),
+                              img_s, lbl_s, key_s).compile()
+    flops = _flops_per_call(train_step, shp(params), shp(weight), shp(opt),
+                            shp(wopt), img_s, lbl_s, key_s)
+
+    @jax.jit
+    def make_inputs(key):
+        imgs = jax.random.randint(key, (B, 112, 112, 3), 0, 255, jnp.uint8)
+        labels = jax.random.randint(key, (B,), 0, C, jnp.int32)
+        return imgs, labels
+
+    n_total = iters + 2
+    inputs = [make_inputs(k)
+              for k in jax.random.split(jax.random.PRNGKey(1), n_total)]
+    for i, l in inputs:
+        i.block_until_ready()
+    rngs = jax.random.split(jax.random.PRNGKey(2), n_total)
+
+    loss = None
+    for w in range(2):  # warmup (donated buffers flow through)
+        imgs, labels = inputs[w]
+        params, weight, opt, wopt, loss = compiled(params, weight, opt, wopt,
+                                                   imgs, labels, rngs[w])
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for s in range(iters):
+        imgs, labels = inputs[2 + s]
+        params, weight, opt, wopt, loss = compiled(params, weight, opt, wopt,
+                                                   imgs, labels, rngs[2 + s])
+    got = np.asarray(loss)  # chained states -> single completion barrier
+    dt = time.perf_counter() - t0
+    assert np.isfinite(got).all()
+    return B * iters / dt, flops / B, dt / iters * 1e3
+
+
 def bench_roc(jax, jnp, n: int = 163840, targets: int = 4096, e: int = 512,
               iters: int = 3):
     """Personalized all-pairs ROC histogram at the production workload
@@ -269,6 +363,11 @@ def main():
     train_ips, train_fpi, ms_per_step = bench_train_step(jax, jnp)
     train_mfu = train_ips * train_fpi / peak
 
+    pre_ips, pre_fpi, pre_ms = bench_pretrain_step(jax, jnp, 1.0)
+    pre_mfu = pre_ips * pre_fpi / peak
+    spre_ips, spre_fpi, spre_ms = bench_pretrain_step(jax, jnp, 0.1)
+    spre_mfu = spre_ips * spre_fpi / peak
+
     roc_s, roc_pps = bench_roc(jax, jnp)
 
     print(json.dumps({
@@ -292,6 +391,20 @@ def main():
             "ms_per_step_batch256": round(ms_per_step, 1),
             "gflop_per_img": round(train_fpi / 1e9, 2),
             "mfu": round(train_mfu, 3),
+        },
+        "pretrain_step": {
+            "images_per_sec": round(pre_ips, 1),
+            "ms_per_step_batch512": round(pre_ms, 1),
+            "gflop_per_img": round(pre_fpi / 1e9, 2),
+            "mfu": round(pre_mfu, 3),
+            "sampled_0.1": {
+                "images_per_sec": round(spre_ips, 1),
+                "ms_per_step_batch512": round(spre_ms, 1),
+                "gflop_per_img": round(spre_fpi / 1e9, 2),
+                "mfu": round(spre_mfu, 3),
+            },
+            "workload": "sphere64 b512, 6000-class sharded margin softmax "
+                        "(partial_fc.py:130-176)",
         },
         "roc_histogram": {
             "s_per_client": round(roc_s, 3),

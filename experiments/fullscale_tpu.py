@@ -141,7 +141,7 @@ def main():
     args = ap.parse_args()
 
     if args.cpu:
-        RUN_ENV["JAX_PLATFORMS"] = "cpu"
+        RUN_ENV["FEDFR_PLATFORM"] = "cpu"
     spec = QUICK_SPEC if args.quick else FULL_SPEC
     w = args.work_dir
     pre = os.path.join(w, "pre")

@@ -135,7 +135,8 @@ class CombinedDataset:
         if self.is_device_synthetic:
             assert (local.seed == public.seed
                     and local.image_size == public.image_size
-                    and local.noise == public.noise), \
+                    and local.noise == public.noise
+                    and local.block == public.block), \
                 "combined synthetic splits must share one universe"
 
     @property

@@ -47,7 +47,8 @@ def parse_synth_spec(spec: str) -> Dict[str, float]:
         clients=40, ids_per_client=100, imgs_min=61, imgs_max=69,
         public_ids=6000, public_imgs=420671, public_imgs_min=61,
         public_imgs_max=79, veri_ids=4000, veri_imgs=40,
-        blend=0.6, blend_frac=0.5, seed=100, image_size=112, noise=18)
+        blend=0.6, blend_frac=0.5, seed=100, image_size=112, noise=18,
+        block=4)
     body = spec.split(":", 1)[1] if ":" in spec else ""
     for kv in body.split(","):
         if not kv.strip():
@@ -64,7 +65,7 @@ def is_synth_spec(path: str) -> bool:
     return isinstance(path, str) and path.startswith("synth:")
 
 
-def _make_generator(size: int, noise: int):
+def _make_generator(size: int, noise: int, block: int):
     """Jitted (keys, gids, blend_gids, blend_w, dseeds, master) -> u8 images.
 
     All per-batch inputs are flat ``(B,)`` vectors so ONE executable serves
@@ -79,12 +80,12 @@ def _make_generator(size: int, noise: int):
     import jax
     import jax.numpy as jnp
 
-    rep = size // 4
+    rep = size // block
 
     def one(key_id, gid, bgid, bw, dseed, master):
         def block_of(g):
             kb = jax.random.fold_in(master, g)
-            blk = jax.random.randint(kb, (4, 4, 3), 30, 226)
+            blk = jax.random.randint(kb, (block, block, 3), 30, 226)
             return blk.astype(jnp.float32)
 
         base = jnp.repeat(jnp.repeat(
@@ -115,10 +116,10 @@ def _make_generator(size: int, noise: int):
 _GEN_CACHE: Dict = {}
 
 
-def _generator(size: int, noise: int):
-    key = (size, noise)
+def _generator(size: int, noise: int, block: int):
+    key = (size, noise, block)
     if key not in _GEN_CACHE:
-        _GEN_CACHE[key] = _make_generator(size, noise)
+        _GEN_CACHE[key] = _make_generator(size, noise, block)
     return _GEN_CACHE[key]
 
 
@@ -138,7 +139,7 @@ class SyntheticFaceDataset:
 
     def __init__(self, labels: np.ndarray, class_gids: np.ndarray, *,
                  id_base: int = 0, seed: int = 100, dataset_seed: int = 0,
-                 image_size: int = 112, noise: int = 18,
+                 image_size: int = 112, noise: int = 18, block: int = 4,
                  blend_gids: Optional[np.ndarray] = None,
                  blend_w: Optional[np.ndarray] = None):
         labels = np.asarray(labels, np.int32)
@@ -154,6 +155,7 @@ class SyntheticFaceDataset:
         self.imgidx = np.arange(1, len(labels) + 1)
         self.image_size = image_size
         self.noise = noise
+        self.block = block  # template grid resolution (identity-space size)
         self.seed = seed
         self.dataset_seed = dataset_seed
         self._master = None  # device key, built lazily
@@ -220,7 +222,8 @@ def synth_device_batch(dataset: "SyntheticFaceDataset", vecs):
     if dataset._master is None:
         dataset._master = jax.random.PRNGKey(dataset.seed)
     keys, gids, bgids, bw, dseeds = vecs
-    gen = _generator(dataset.image_size, dataset.noise)
+    gen = _generator(dataset.image_size, dataset.noise,
+                     dataset.block)
     return gen(jnp.asarray(keys), jnp.asarray(gids), jnp.asarray(bgids),
                jnp.asarray(bw), jnp.asarray(dseeds), dataset._master)
 
@@ -241,6 +244,7 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
     rng = np.random.default_rng(int(spec["seed"]))
     n_clients, ipc = int(spec["clients"]), int(spec["ids_per_client"])
     size, noise, seed = int(spec["image_size"]), int(spec["noise"]), int(spec["seed"])
+    block = int(spec.get("block", 4))
 
     clients = []
     for c in range(n_clients):
@@ -250,7 +254,7 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
         gids = (c * ipc + np.arange(ipc)).astype(np.int32)
         clients.append(SyntheticFaceDataset(
             labels, gids, id_base=c * ipc, seed=seed, dataset_seed=c + 1,
-            image_size=size, noise=noise))
+            image_size=size, noise=noise, block=block))
 
     # public: exact total image count with per-ID counts in the split's range
     n_pub, total = int(spec["public_ids"]), int(spec["public_imgs"])
@@ -276,13 +280,13 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
                        0.0).astype(np.float32)
     public = SyntheticFaceDataset(labels, gids, id_base=0, seed=seed,
                                   dataset_seed=500_001, image_size=size,
-                                  noise=noise, blend_gids=blend_gids,
-                                  blend_w=blend_w)
+                                  noise=noise, block=block,
+                                  blend_gids=blend_gids, blend_w=blend_w)
 
     n_veri, vpi = int(spec["veri_ids"]), int(spec["veri_imgs"])
     vlabels = np.repeat(np.arange(n_veri, dtype=np.int32), vpi)
     vgids = np.arange(n_veri, dtype=np.int32)  # same identities as FL pool
     veri = SyntheticFaceDataset(vlabels, vgids, id_base=0, seed=seed,
                                 dataset_seed=900_001, image_size=size,
-                                noise=noise)
+                                noise=noise, block=block)
     return {"clients": clients, "public": public, "veri": veri}

@@ -90,10 +90,13 @@ def image_to_template_features(img_feats: np.ndarray, templates: np.ndarray,
         return out, unique_templates
 
     # stage 1: mean over (template, media) groups.  Segment sums run as
-    # sort + add.reduceat over the f32 rows (the reference accumulates in
-    # f32 too, ijbc_all.py:242-257): one sequential pass, no np.add.at
-    # unbuffered per-element loop (240M scattered ufunc calls at IJB-C
-    # scale), no f64 blow-up of the 1 GB feature matrix
+    # sort + add.reduceat: one sequential pass, no np.add.at unbuffered
+    # per-element loop (240M scattered ufunc calls at IJB-C scale).  The
+    # accumulation itself is f64 — reduceat's left-to-right f32 sum drifts
+    # on media groups with thousands of video frames, and the strict
+    # TPR@FPR=1e-6 operating point is sensitive to small score shifts — but
+    # rows are cast per group-chunk so the 1 GB feature matrix never gets a
+    # full f64 copy
     dim = feats.shape[1]
     pair_code = tmpl.astype(np.int64) * (med.max() + 1) + med
     order = np.argsort(pair_code, kind="stable")
@@ -101,9 +104,17 @@ def image_to_template_features(img_feats: np.ndarray, templates: np.ndarray,
     starts = np.flatnonzero(np.r_[True, sorted_code[1:] != sorted_code[:-1]])
     codes = sorted_code[starts]
     counts = np.diff(np.r_[starts, len(sorted_code)])
-    sums = np.add.reduceat(np.asarray(feats, np.float32)[order], starts,
-                           axis=0)
-    media_feats = sums.astype(np.float64) / counts[:, None]
+    f32sorted = np.asarray(feats, np.float32)[order]
+    bounds = np.r_[starts, len(sorted_code)]
+    sums = np.empty((len(starts), dim), np.float64)
+    group_chunk = 4096
+    for g0 in range(0, len(starts), group_chunk):
+        g1 = min(g0 + group_chunk, len(starts))
+        row0, row1 = bounds[g0], bounds[g1]
+        sums[g0:g1] = np.add.reduceat(
+            f32sorted[row0:row1].astype(np.float64), starts[g0:g1] - row0,
+            axis=0)
+    media_feats = sums / counts[:, None]
     media_tmpl = (codes // (med.max() + 1)).astype(np.int64)
 
     # stage 2: sum over each template's medias (media_tmpl is sorted because
@@ -294,7 +305,8 @@ def identification_1n(probe_feats: np.ndarray, gallery_feats: np.ndarray,
 
     from .openset import openset_thresholds
 
-    pos_sims, ths = openset_thresholds(sim, mask, fars)
+    # top-k ranks above already consumed sim; nothing reads it afterwards
+    pos_sims, ths = openset_thresholds(sim, mask, fars, inplace=True)
     pr = {far: float(np.sum(pos_sims > th)) / q
           for far, th in zip(fars, ths)}
     return rank, pr
@@ -341,13 +353,27 @@ def extract_ijbc_features(embed_fn, variables, root_path: str,
     if cache_path and os.path.exists(cache_path):
         imgs = np.load(cache_path, mmap_mode="r")
     else:
+        # first-run alignment is embarrassingly parallel (469k independent
+        # imread+warpAffine); the reference runs it single-threaded for ~20
+        # min (ijbc_all.py:142-174) — thread it over the host cores.
+        # cv2 releases the GIL inside imread/warpAffine, so threads (not
+        # processes) already scale and share the output array zero-copy.
+        from concurrent.futures import ThreadPoolExecutor
+
         imgs = np.empty((n, 112, 112, 3), np.uint8)
         img_dir = os.path.join(root_path, "loose_crop")
-        for i, name in enumerate(names):
-            bgr = cv2.imread(os.path.join(img_dir, name))
+        done = [0]
+
+        def align_one(i: int) -> None:
+            bgr = cv2.imread(os.path.join(img_dir, names[i]))
             imgs[i] = align_face(bgr, lmks[i])
-            if (i + 1) % 10000 == 0:
-                logger.info("aligned %d/%d", i + 1, n)
+            done[0] += 1  # benign race: progress log only
+            if done[0] % 10000 == 0:
+                logger.info("aligned ~%d/%d", done[0], n)
+
+        workers = min(32, (os.cpu_count() or 4))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(align_one, range(n), chunksize=256))
         if cache_path:
             np.save(cache_path, imgs)
 

@@ -65,7 +65,8 @@ def open_set_identification(query_feats: np.ndarray, gallery_feats: np.ndarray,
 
     q, g = query_feats.shape[0], gallery_feats.shape[0]
     sim = query_feats @ gallery_feats.T
-    pos_sims, ths = openset_thresholds(sim, mask, fars)
+    # sim is local and dead after this call -> skip the defensive copy
+    pos_sims, ths = openset_thresholds(sim, mask, fars, inplace=True)
     denom = recall_denominator if recall_denominator is not None else 40 * g
     result = [float(np.sum(pos_sims > th)) / denom for th in ths]
     return result, list(fars)

@@ -18,20 +18,25 @@ import numpy as np
 
 
 def openset_thresholds(sim: np.ndarray, mask: np.ndarray,
-                       fars: Sequence[float]
+                       fars: Sequence[float], inplace: bool = False
                        ) -> Tuple[np.ndarray, List[float]]:
     """(positive scores, per-FAR thresholds) from a probe-gallery sim matrix.
 
     ``mask[i]`` is probe i's gallery column, or -1 for an out-of-gallery
-    probe (no positive score).  ``sim`` is MUTATED: positive entries are set
-    to -2 so the negative pool can be gathered with one compare.  Thresholds
-    use a partial top-k (never a full sort of the ~q*g negative pool) and
-    clamp k to the pool size — ceil(q * far) can exceed it on tiny galleries.
+    probe (no positive score).  Positive entries are masked to -2 so the
+    negative pool can be gathered with one compare; by default this happens
+    on an internal copy — ``inplace=True`` skips the copy (callers whose
+    ``sim`` is a throwaway can spare the q*g duplicate, but the matrix is
+    corrupted afterwards).  Thresholds use a partial top-k (never a full
+    sort of the ~q*g negative pool) and clamp k to the pool size —
+    ceil(q * far) can exceed it on tiny galleries.
     """
     q = sim.shape[0]
     mask = np.asarray(mask)
     rows = np.nonzero(mask != -1)[0]
     pos_sims = sim[rows, mask[rows]].copy()
+    if not inplace:
+        sim = sim.copy()
     sim[rows, mask[rows]] = -2.0
 
     neg_sims = sim[sim > -2.0]

@@ -316,17 +316,39 @@ class Client:
         return {"loss": self.last_loss, "steps": n_steps,
                 "dataset_size": self.dataset_size}
 
+    def prepare_plain_run(self, backbone_vars, round_seed: int = 0):
+        """Loader + initial device state for one plain local run; shared by
+        the sequential path (train) and the plain client-parallel round."""
+        cfg = self.cfg
+        loader = BatchLoader(
+            self.dataset, cfg.data.batch_size, shuffle=True,
+            seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+            drop_last=False, num_workers=cfg.data.num_workers)
+        state = init_client_state(
+            _clone_tree(backbone_vars), jnp.asarray(self.fc_local), None)
+        return loader, state
+
+    def finalize_plain_run(self, state, avg_loss: float) -> None:
+        """Persist a plain run's state (client.py:566-570 semantics)."""
+        if not np.isfinite(avg_loss):
+            logger.warning("client %d: NON-FINITE loss %r in plain local "
+                           "training", self.cid, avg_loss)
+        from ..utils.transfer import chunked_device_get
+
+        self.fc_local = chunked_device_get(state.fc)
+        if self.cfg.runtime.device_cache:
+            self.trained_backbone = state.backbone
+        else:
+            self.trained_backbone = chunked_device_get(state.backbone)
+        self.last_loss = float(avg_loss)
+        self.dataset_size = len(self.dataset)
+
     def train(self, backbone_vars, local_epochs: int, lr: float,
               step_fn=None, round_seed: int = 0) -> Dict[str, float]:
         """Plain CosFace-only local training (client.py:511-571)."""
         cfg = self.cfg
-        base_loader = BatchLoader(
-            self.dataset, cfg.data.batch_size, shuffle=True,
-            seed=cfg.runtime.seed + 17 * round_seed + self.cid,
-            drop_last=False, num_workers=cfg.data.num_workers)
+        base_loader, state = self.prepare_plain_run(backbone_vars, round_seed)
         loader = DevicePrefetcher(base_loader, depth=cfg.data.prefetch)
-        state = init_client_state(
-            _clone_tree(backbone_vars), jnp.asarray(self.fc_local), None)
         if step_fn is None:
             step_fn = make_plain_train_step(
                 self.backbone, margin=cfg.loss.loss, s=cfg.loss.margin_s,
@@ -344,15 +366,7 @@ class Client:
                     loss_acc = loss_acc + loss  # on-device running sum
                     n_steps += 1
         base_loader.close()
-        from ..utils.transfer import chunked_device_get
-
-        self.fc_local = chunked_device_get(state.fc)
-        if cfg.runtime.device_cache:
-            self.trained_backbone = state.backbone
-        else:
-            self.trained_backbone = chunked_device_get(state.backbone)
         # all-step mean, as the reference's AverageMeter (client.py:541-548)
-        self.last_loss = float(loss_acc) / max(n_steps, 1)
-        self.dataset_size = len(self.dataset)
+        self.finalize_plain_run(state, float(loss_acc) / max(n_steps, 1))
         return {"loss": self.last_loss, "steps": n_steps,
                 "dataset_size": self.dataset_size}

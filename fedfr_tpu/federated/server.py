@@ -113,6 +113,7 @@ class Server:
         self._branch_step = None
         self._plain_step = None
         self._parallel_step = None
+        self._parallel_plain_step = None
 
     # ------------------------------------------------------------- FC init
 
@@ -314,6 +315,8 @@ class Server:
         from ..parallel.fedavg import stack_trees, unstack_tree
 
         cfg = self.cfg
+        if not cfg.fed.add_pretrained_data:
+            return self._train_round_parallel_plain(mesh)
         if not self.current_client_list:
             self.current_client_list = self.sample_clients()
         self._ensure_residency()
@@ -473,6 +476,119 @@ class Server:
                 self.pretrained_fc = np.asarray(fedavg_on_fc(
                     jnp.asarray(self.pretrained_fc),
                     jnp.stack([jnp.asarray(f) for f in fcs]), weights, p=1.0))
+            if cfg.fed.spreadout:
+                self.spread_out()
+        return {"avg_loss": float(np.mean(losses))}
+
+    def _train_round_parallel_plain(self, mesh) -> Dict[str, float]:
+        """Plain-objective (CosFace-only, Client.train client.py:511-571)
+        client-parallel round: K clients advance in vmapped lockstep, same
+        wrap-around epoch semantics as the branch-objective parallel round.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..data.pipeline import prefetched
+        from ..parallel.client_parallel import (
+            make_parallel_plain_step,
+            stack_client_batches,
+        )
+        from ..parallel.fedavg import stack_trees, unstack_tree
+
+        cfg = self.cfg
+        if not self.current_client_list:
+            self.current_client_list = self.sample_clients()
+        self._ensure_residency()
+        K = mesh.shape["client"]
+        if len({self.clients[cid].num_classes
+                for cid in self.current_client_list}) > 1:
+            raise ValueError("plain client-parallel requires uniform local "
+                             "class counts (ragged FC rows cannot stack); "
+                             "run sequentially")
+        if self._parallel_plain_step is None:
+            self._parallel_plain_step = make_parallel_plain_step(
+                self.backbone, margin=cfg.loss.loss, s=cfg.loss.margin_s,
+                m=cfg.loss.margin_m, momentum=cfg.optim.momentum,
+                weight_decay=cfg.optim.weight_decay)
+        step_fn = self._parallel_plain_step
+
+        client_shard = NamedSharding(mesh, P("client"))
+        batch_shard = NamedSharding(mesh, P("client", "data"))
+        models, sizes, losses = [], [], []
+        todo = list(self.current_client_list)
+        lr = jnp.float32(cfg.optim.lr)  # constant over the run, as the
+        # sequential path and the reference (client.py:528-530, no scheduler)
+        for g0 in range(0, len(todo), K):
+            group = todo[g0:g0 + K]
+            pad = K - len(group)
+            members = group + [group[0]] * pad
+            preps = [self.clients[cid].prepare_plain_run(
+                self.federated_vars, round_seed=self.global_round)
+                for cid in group]
+            loaders = [p[0] for p in preps]
+            steps_per_epoch = max(len(l) for l in loaders)
+            if min(len(l) for l in loaders) == 0:
+                empty = [cid for cid, l in zip(group, loaders) if len(l) == 0]
+                raise ValueError(f"clients {empty}: empty dataset")
+
+            def cycling(loader):
+                while True:
+                    yield from loader.epoch()
+
+            iters = [cycling(l) for l in loaders]
+            stacked = stack_trees([p[1] for p in preps] + [preps[0][1]] * pad)
+            stacked = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, client_shard), stacked)
+            keys = jax.device_put(np.stack([np.asarray(jax.random.PRNGKey(
+                cfg.runtime.seed + 31 * self.global_round + cid))
+                for cid in members]), client_shard)
+
+            n_dispatches = self.local_epoch * steps_per_epoch
+
+            def device_batches():
+                for _ in range(n_dispatches):
+                    batches = [next(it) for it in iters]
+                    batches += [batches[0]] * pad
+                    imgs, labels, valid = stack_client_batches(batches)
+                    yield (jax.device_put(imgs, batch_shard),
+                           jax.device_put(labels, batch_shard),
+                           jax.device_put(valid, batch_shard))
+
+            feed = prefetched(device_batches(), depth=max(1, cfg.data.prefetch))
+            acc = jnp.zeros(K)
+            step_no = 0
+            try:
+                with self.timer.span("phase/local_train"):
+                    for epoch in range(self.local_epoch):
+                        for s in range(steps_per_epoch):
+                            imgs_d, labels_d, valid_d = next(feed)
+                            stacked, loss = step_fn(stacked, imgs_d, labels_d,
+                                                    valid_d, lr, keys, step_no)
+                            acc = acc + loss
+                            step_no += 1
+            finally:
+                feed.close()
+            for l in loaders:
+                l.close()
+
+            avg_loss = np.asarray(jax.device_get(acc)) / max(step_no, 1)
+            states = unstack_tree(jax.device_get(stacked), K)
+            for slot, cid in enumerate(group):
+                client = self.clients[cid]
+                client.finalize_plain_run(states[slot], float(avg_loss[slot]))
+                losses.append(client.last_loss)
+                sizes.append(client.dataset_size)
+                models.append(client.trained_backbone)
+                if (self.local_eval_callback is not None
+                        and cid in self.local_candidates):
+                    self.local_eval_callback(self, client)
+
+        weights = jnp.asarray(sizes, jnp.float32)
+        logger.info("round %d (parallel plain) avg client loss %.5f",
+                    self.global_round, float(np.mean(losses)))
+        with self.timer.span("phase/aggregate"):
+            aggregated = streaming_weighted_average(models, weights)
+            self.federated_vars = (aggregated if cfg.runtime.device_cache
+                                   else jax.device_get(aggregated))
             if cfg.fed.spreadout:
                 self.spread_out()
         return {"avg_loss": float(np.mean(losses))}

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..federated.trainer import make_branch_train_step
+from ..federated.trainer import make_branch_train_step, make_plain_train_step
 from .fedavg import fed_weighted_average
 
 
@@ -55,6 +55,20 @@ def make_parallel_branch_step(backbone, bce_module, donate: bool = True,
     return jax.jit(v, donate_argnums=(0,) if donate else ())
 
 
+def make_parallel_plain_step(backbone, donate: bool = True,
+                             **kwargs) -> Callable:
+    """K-client vmapped plain (CosFace-only) train step.
+
+    Signature: ``(stacked_state, images (K,B,H,W,C) u8, labels (K,B),
+    valid (K,B), lr, rngs (K,...), step_no)``.  The plain local objective is
+    a first-class reference mode (Client.train, client.py:511-571); without
+    this the parallel round would silently serialize it.
+    """
+    base = make_plain_train_step(backbone, jit=False, donate=False, **kwargs)
+    v = jax.vmap(base, in_axes=(0, 0, 0, 0, None, 0, None))
+    return jax.jit(v, donate_argnums=(0,) if donate else ())
+
+
 @jax.jit
 def parallel_fedavg(stacked_backbones: Any, weights: jnp.ndarray) -> Any:
     """Round-end aggregation over the stacked (sharded) client axis.
@@ -66,8 +80,16 @@ def parallel_fedavg(stacked_backbones: Any, weights: jnp.ndarray) -> Any:
 
 
 def stack_client_batches(batches) -> tuple:
-    """Host-side: list of per-client (imgs, labels, valid) -> stacked arrays."""
-    imgs = np.stack([b[0] for b in batches])
+    """List of per-client (imgs, labels, valid) -> stacked arrays.
+
+    Device-resident image batches (the synthetic data plane) stack on
+    device; a host np.stack would silently device_get each one through the
+    host link first.
+    """
+    if isinstance(batches[0][0], jax.Array):
+        imgs = jnp.stack([b[0] for b in batches])
+    else:
+        imgs = np.stack([b[0] for b in batches])
     labels = np.stack([b[1] for b in batches])
     valid = np.stack([b[2] for b in batches])
     return imgs, labels, valid

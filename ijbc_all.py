@@ -18,6 +18,9 @@ def load_backbone_variables(network: str, path: str, embedding_size: int = 512):
 
 
 def main(args):
+    from fedfr_tpu.utils.runtime import apply_platform_override
+
+    apply_platform_override()
     import numpy as np
 
     from fedfr_tpu.evalsuite.ijbc import run_ijbc

@@ -14,6 +14,9 @@ import numpy as np
 
 
 def main(args):
+    from fedfr_tpu.utils.runtime import apply_platform_override
+
+    apply_platform_override()
     from fedfr_tpu.data.datasets import FaceRecordDataset
     from fedfr_tpu.evalsuite.local_eval import (
         client_query_mask,

@@ -17,6 +17,9 @@ import os
 
 
 def main(args):
+    from fedfr_tpu.utils.runtime import apply_platform_override
+
+    apply_platform_override()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -214,6 +214,33 @@ def test_parallel_round_matches_sequential(fl_root):
                                        rtol=1e-6, atol=1e-6)
 
 
+def test_parallel_plain_round_matches_sequential(fl_root):
+    """The plain-objective (CosFace-only, Client.train client.py:511-571)
+    client-parallel round matches the sequential loop the same way the
+    branch-objective one does — the mode the reference runs without
+    --add_pretrained_data no longer serializes on a slice."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg_s = _tiny_cfg(fl_root, add_pretrained_data=False)
+    cfg_p = _tiny_cfg(fl_root, add_pretrained_data=False)
+    server_s = Server(cfg_s, AllClientData(cfg_s, include_public=False))
+    server_p = Server(cfg_p, AllClientData(cfg_p, include_public=False))
+
+    server_s.train_round()
+    mesh = make_mesh((NUM_CLIENTS, 1, 1), devices=jax.devices()[:NUM_CLIENTS])
+    server_p.train_round_parallel(mesh)
+
+    assert len({c.dataset_size for c in server_p.clients}) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(server_s.federated_vars),
+                    jax.tree_util.tree_leaves(server_p.federated_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for cs, cp in zip(server_s.clients, server_p.clients):
+        assert cs.last_loss == pytest.approx(cp.last_loss, rel=1e-5)
+        np.testing.assert_allclose(cs.fc_local, cp.fc_local,
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_fc_mining_selection_semantics(fl_root):
     """FC-row mining matches the reference row-selection math
     (choose_hard_negative, client.py:227-267): ids = unique columns of

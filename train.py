@@ -66,6 +66,9 @@ def build_config(args) -> "FedFRConfig":
 
 
 def main(args):
+    from fedfr_tpu.utils.runtime import apply_platform_override
+
+    apply_platform_override()
     from fedfr_tpu.data.datasets import AllClientData, FaceRecordDataset
     from fedfr_tpu.evalsuite.verification import BinVerificationCallback
     from fedfr_tpu.federated import Server
@@ -161,16 +164,13 @@ def main(args):
     import jax
 
     mesh = None
-    if (cfg.fed.client_parallel and len(jax.devices()) > 1
-            and cfg.fed.add_pretrained_data):  # matches the dispatch below
+    if cfg.fed.client_parallel and len(jax.devices()) > 1:
         from fedfr_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-        logger.info("client-parallel training over %d devices",
-                    mesh.shape["client"])
-    elif cfg.fed.client_parallel and len(jax.devices()) > 1:
-        logger.info("client-parallel requires --add_pretrained_data; "
-                    "running the sequential round loop")
+        logger.info("client-parallel training over %d devices "
+                    "(%s objective)", mesh.shape["client"],
+                    "branch" if cfg.fed.add_pretrained_data else "plain")
 
     from fedfr_tpu.utils.profiling import SpanTimer, xla_trace
 
@@ -185,7 +185,7 @@ def main(args):
         logger.info("====== Round %d ======", server.global_round)
         with xla_trace(trace_dir if server.global_round == 0 else None):
             with timer.span("train_round"):
-                if mesh is not None and cfg.fed.add_pretrained_data:
+                if mesh is not None:
                     server.train_round_parallel(mesh)
                 else:
                     server.train_round()
