@@ -123,6 +123,9 @@ def parse_training_log(path: str):
 
 
 def main():
+    from fedfr_tpu.utils.runtime import apply_platform_override
+
+    apply_platform_override()
     ap = argparse.ArgumentParser()
     ap.add_argument("--work_dir", default="/tmp/fullscale")
     ap.add_argument("--rounds", type=int, default=2)

@@ -377,6 +377,11 @@ def extract_ijbc_features(embed_fn, variables, root_path: str,
         if cache_path:
             np.save(cache_path, imgs)
 
+    # pin weights to device once (host-numpy trees would re-upload the
+    # backbone per batch; see federated/embed.py::embed_dataset)
+    import jax
+
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
     chunks = []
     host_feats = None
     dim = None

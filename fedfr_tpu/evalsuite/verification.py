@@ -97,6 +97,11 @@ def test_bin(embed_fn, variables, data: np.ndarray, issame: np.ndarray,
     Returns (accuracy-flip mean, std, xnorm, embeddings).
     """
     n = data.shape[0]
+    # pin weights to device once (host-numpy trees would re-upload the
+    # backbone per batch; see federated/embed.py::embed_dataset)
+    import jax
+
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
     emb_lists = []
     infer_time = 0.0
     for flip in (False, True):

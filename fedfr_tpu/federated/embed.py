@@ -106,6 +106,13 @@ def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
     and the ROC pipeline, whose consumers are device kernels anyway.
     """
     n = len(dataset)
+    # pin weights (and converter params) to device ONCE: host-numpy variable
+    # trees would otherwise re-upload the whole backbone on EVERY batch
+    # dispatch (measured 50x embed slowdown at the 420k-image public-set
+    # scale before this)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    bce_params = (jax.tree_util.tree_map(jnp.asarray, bce_params)
+                  if bce_params is not None else None)
     args = (bce_params,) if bce_params is not None else ()
 
     from ..data.datasets import BatchLoader

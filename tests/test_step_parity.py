@@ -130,3 +130,145 @@ def test_full_objective_gradients_match_reference():
     jfc = np.asarray(grads["backbone"]["fc"]["kernel"])  # (25088, 512) HWC-in
     jfc_t = jfc.reshape(7, 7, 512, 512).transpose(3, 2, 0, 1).reshape(512, -1)
     cmp(jfc_t, tbackbone.fc.weight.grad, "embed.fc", 5e-3)
+
+
+@skip_without_reference
+def test_multistep_trajectory_matches_reference():
+    """TWO EPOCHS of the full local-training integration — SGD momentum +
+    weight decay + StepLR decay at the epoch boundary, driving the jitted
+    branch step — track the reference's own torch training loop
+    (client.py:335-404: SGD(momentum .9, wd), StepLR(train_decay, 0.1),
+    fixed global/last contrastive models) step for step.  The single-step
+    test above certifies one gradient; this one certifies that integration
+    error does not compound over a run.
+
+    Flip-invariant inputs (horizontally symmetric images) make the jitted
+    step's RandomHorizontalFlip a no-op so both frameworks consume
+    identical pixels without disabling the production preprocessing path.
+    """
+    from fedfr_tpu.federated.trainer import (
+        init_client_state,
+        make_branch_train_step,
+    )
+    from fedfr_tpu.utils.optim import step_lr
+
+    ref_sph = load_module("backbones/sphnet.py", "ref_sphnet_traj")
+    ref_losses = load_module("losses.py", "ref_losses_traj")
+    ns = {"torch": torch, "nn": torch.nn, "F": F, "BottleBlock": None}
+    RefBCE = load_class_source("client.py", "BCE_module", ns)
+    RefFC = load_class_source("client.py", "FC_module", ns)
+
+    torch.manual_seed(0)
+    n_local, n_global, E = 5, 7, 512
+    B, steps_per_epoch, epochs = 4, 3, 2
+    lr0, train_decay = 0.01, 1  # decay fires at the epoch boundary
+
+    tbackbone = ref_sph.sphere(20).train()
+    tfc = RefFC(E, n_local + n_global, "/tmp")
+    tbce = RefBCE(E, n_local, converter_layer=1)
+    tglobal = ref_sph.sphere(20)
+    tlast = ref_sph.sphere(20)
+    torch.manual_seed(1)
+    for m in (tglobal, tlast):
+        for p in m.parameters():
+            p.data.normal_(0, 0.05)
+
+    # flip-symmetric uint8 batches: x == x[..., ::-1 on W, :]
+    rng = np.random.default_rng(42)
+    batches = []
+    for s in range(steps_per_epoch * epochs):
+        half = rng.integers(0, 256, (B, 112, 56, 3), dtype=np.uint8)
+        u8 = np.concatenate([half, half[:, :, ::-1]], axis=2)
+        labels = rng.integers(0, n_local + n_global, B).astype(np.int32)
+        batches.append((u8, labels))
+
+    # ---- torch: the reference's loop verbatim ---------------------------
+    opt = torch.optim.SGD(
+        list(tbackbone.parameters()) + list(tfc.parameters())
+        + list(tbce.parameters()), lr=lr0, momentum=0.9, weight_decay=5e-4)
+    schler = torch.optim.lr_scheduler.StepLR(opt, train_decay, gamma=0.1)
+    crit = torch.nn.CosineSimilarity(dim=1)
+    tlosses = []
+    for epoch in range(epochs):
+        for s in range(steps_per_epoch):
+            u8, labels = batches[epoch * steps_per_epoch + s]
+            x = torch.from_numpy(np.ascontiguousarray(
+                u8.transpose(0, 3, 1, 2).astype(np.float32) / 127.5 - 1.0))
+            tl = torch.from_numpy(labels.astype(np.int64))
+            opt.zero_grad()
+            feats = tbackbone(x)
+            with torch.no_grad():
+                gfeats = tglobal(x)
+                lfeats = tlast(x)
+            cos = ref_losses.CosFace(s=30.0, m=0.4)(tfc(feats), tl)
+            cos_l = F.cross_entropy(cos, tl)
+            blogits, gts = tbce(feats, tl)
+            bce_l = ref_losses.BCE_loss()(blogits, gts)
+            pos = crit(feats, gfeats) / 0.5
+            neg = crit(feats, lfeats) / 0.5
+            con_l = F.cross_entropy(torch.stack([pos, neg], dim=1),
+                                    torch.zeros(B, dtype=torch.long))
+            loss = cos_l + 10.0 * bce_l + 5.0 * con_l
+            loss.backward()
+            opt.step()
+            tlosses.append(float(loss.detach()))
+        schler.step()
+
+    # ---- jax: the production jitted step --------------------------------
+    backbone = SphNet(depth=20, bf16=False)
+    bvars = ti.sphnet_from_torch(tglobal.state_dict(), depth=20)  # template
+    # convert the INITIAL torch weights (before training they were consumed
+    # above, so rebuild from a fresh torch graph with the same seed)
+    torch.manual_seed(0)
+    tb0 = ref_sph.sphere(20)
+    tfc0 = RefFC(E, n_local + n_global, "/tmp")
+    tbce0 = RefBCE(E, n_local, converter_layer=1)
+    bvars = ti.sphnet_from_torch(tb0.state_dict(), depth=20)
+    gvars = ti.sphnet_from_torch(tglobal.state_dict(), depth=20)
+    lvars = ti.sphnet_from_torch(tlast.state_dict(), depth=20)
+    bce = BCEModule(hidden=E, n_class=n_local)
+    bce_vars = ti.bce_from_torch(tbce0.state_dict(), converter_layers=1)
+    fc0 = jnp.asarray(tfc0.fc.data.numpy())
+
+    step = make_branch_train_step(backbone, bce, margin="CosFace", s=30.0,
+                                  m=0.4, mu=5.0, momentum=0.9,
+                                  weight_decay=5e-4, contrastive=True,
+                                  num_local=n_local, donate=False)
+    state = init_client_state(bvars, fc0, bce_vars)
+    key = jnp.asarray(jax.random.PRNGKey(3))
+    valid = jnp.ones((B,), bool)
+    jlosses = []
+    n = 0
+    for epoch in range(epochs):
+        lr = step_lr(lr0, epoch, train_decay, 0.1)
+        for s in range(steps_per_epoch):
+            u8, labels = batches[epoch * steps_per_epoch + s]
+            state, metrics = step(state, gvars, lvars, jnp.asarray(u8),
+                                  jnp.asarray(labels), valid,
+                                  jnp.float32(lr), key, n)
+            jlosses.append(float(metrics.loss))
+            n += 1
+
+    # per-step loss trajectory (fp32 compounding over 6 SGD steps)
+    np.testing.assert_allclose(jlosses, tlosses, rtol=3e-3)
+    # the trajectories must actually move (guard against a frozen run)
+    assert abs(tlosses[-1] - tlosses[0]) > 1e-3
+
+    # final parameters track after the full integration
+    def close(j, t, name, tol=2e-3):
+        j = np.asarray(j, np.float64).reshape(-1)
+        t = t.detach().numpy().astype(np.float64).reshape(-1)
+        scale = max(np.abs(t).max(), 1e-8)
+        assert float(np.abs(j - t).max()) < tol * scale, name
+        corr = float(np.dot(j, t)
+                     / max(np.linalg.norm(j) * np.linalg.norm(t), 1e-30))
+        assert corr > 0.99999, (name, corr)
+
+    close(state.fc, tfc.fc, "fc")
+    close(state.bce["params"]["weight"], tbce.weight, "bce.weight")
+    close(np.transpose(
+        np.asarray(state.backbone["params"]["layer1_conv"]["kernel"]),
+        (3, 2, 0, 1)), tbackbone.layer1[0].weight, "layer1.conv")
+    jfc = np.asarray(state.backbone["params"]["fc"]["kernel"])
+    jfc_t = jfc.reshape(7, 7, 512, 512).transpose(3, 2, 0, 1).reshape(512, -1)
+    close(jfc_t, tbackbone.fc.weight, "embed.fc")
