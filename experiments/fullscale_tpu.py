@@ -36,7 +36,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-FULL_SPEC = "synth:clients=40,ids_per_client=100"
+FULL_SPEC = "synth:clients=40,ids_per_client=100,block=8"
 QUICK_SPEC = ("synth:clients=4,ids_per_client=8,public_ids=60,"
               "public_imgs=4000,veri_ids=32,veri_imgs=8")
 

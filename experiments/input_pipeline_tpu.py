@@ -149,7 +149,7 @@ def bench_alignment(n: int = 4000, workers=(1, 0)):
 
     def one(i):
         bgr = cv2.imread(names[i % len(names)])
-        out[i] = align_face(bgr, lmks[i].reshape(-1))
+        out[i] = align_face(bgr, lmks[i])  # (5,2) landmarks
 
     rates = {}
     for w in workers:
