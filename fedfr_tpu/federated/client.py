@@ -71,11 +71,20 @@ class Client:
                 bkey, jnp.zeros((1, E)), jnp.zeros((1,), jnp.int32)))
         # MOON "last model": randomly initialized at client creation
         # (client.py:153), replaced by the trained backbone after each round.
+        # Kept device-resident under runtime.device_cache (it is consumed on
+        # device anyway); pulled via chunked slices otherwise — a whole-leaf
+        # device_get of a large backbone is pathological on some transports.
         if cfg.fed.contrastive:
             lkey = jax.random.PRNGKey(cfg.runtime.seed + 3000 + cid)
             hw = cfg.data.image_size
-            self.last_backbone = jax.device_get(backbone.init(
-                lkey, jnp.zeros((1, hw, hw, 3)), train=False))
+            init_vars = backbone.init(lkey, jnp.zeros((1, hw, hw, 3)),
+                                      train=False)
+            if cfg.runtime.device_cache:
+                self.last_backbone = init_vars
+            else:
+                from ..utils.transfer import chunked_device_get
+
+                self.last_backbone = chunked_device_get(init_vars)
         else:
             self.last_backbone = None
 

@@ -71,7 +71,9 @@ class Server:
         else:
             key = jax.random.PRNGKey(cfg.runtime.seed)
             hw = cfg.data.image_size
-            self.federated_vars = jax.device_get(self.backbone.init(
+            from ..utils.transfer import chunked_device_get
+
+            self.federated_vars = chunked_device_get(self.backbone.init(
                 key, jnp.zeros((1, hw, hw, 3)), train=False))
             logger.info("train from scratch")
 
@@ -282,7 +284,9 @@ class Server:
             if cfg.runtime.device_cache:
                 self.federated_vars = aggregated
             else:
-                self.federated_vars = jax.device_get(aggregated)
+                from ..utils.transfer import chunked_device_get
+
+                self.federated_vars = chunked_device_get(aggregated)
 
             if cfg.fed.return_all and fcs:
                 self.pretrained_fc = np.asarray(fedavg_on_fc(
@@ -313,6 +317,7 @@ class Server:
             stack_client_batches,
         )
         from ..parallel.fedavg import stack_trees, unstack_tree
+        from ..utils.transfer import chunked_device_get
 
         cfg = self.cfg
         if not cfg.fed.add_pretrained_data:
@@ -452,7 +457,7 @@ class Server:
                 feed.close()  # joins the producer even on error
 
             avg_loss = np.asarray(jax.device_get(acc))[0] / max(step_no, 1)
-            states = unstack_tree(jax.device_get(stacked), K)
+            states = unstack_tree(chunked_device_get(stacked), K)
             for slot, cid in enumerate(group):
                 client = self.clients[cid]
                 client.finalize_local_run(states[slot], float(avg_loss[slot]))
@@ -471,7 +476,7 @@ class Server:
         with self.timer.span("phase/aggregate"):
             aggregated = streaming_weighted_average(models, weights)
             self.federated_vars = (aggregated if cfg.runtime.device_cache
-                                   else jax.device_get(aggregated))
+                                   else chunked_device_get(aggregated))
             if cfg.fed.return_all and fcs:
                 self.pretrained_fc = np.asarray(fedavg_on_fc(
                     jnp.asarray(self.pretrained_fc),
@@ -493,6 +498,7 @@ class Server:
             stack_client_batches,
         )
         from ..parallel.fedavg import stack_trees, unstack_tree
+        from ..utils.transfer import chunked_device_get
 
         cfg = self.cfg
         if not self.current_client_list:
@@ -571,7 +577,7 @@ class Server:
                 l.close()
 
             avg_loss = np.asarray(jax.device_get(acc)) / max(step_no, 1)
-            states = unstack_tree(jax.device_get(stacked), K)
+            states = unstack_tree(chunked_device_get(stacked), K)
             for slot, cid in enumerate(group):
                 client = self.clients[cid]
                 client.finalize_plain_run(states[slot], float(avg_loss[slot]))
@@ -588,7 +594,7 @@ class Server:
         with self.timer.span("phase/aggregate"):
             aggregated = streaming_weighted_average(models, weights)
             self.federated_vars = (aggregated if cfg.runtime.device_cache
-                                   else jax.device_get(aggregated))
+                                   else chunked_device_get(aggregated))
             if cfg.fed.spreadout:
                 self.spread_out()
         return {"avg_loss": float(np.mean(losses))}
