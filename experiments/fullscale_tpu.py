@@ -168,8 +168,15 @@ def main():
 
     bin_path = os.path.join(val_dir, "agedb_30.bin")
     if not os.path.exists(bin_path):
-        make_synth_bin(bin_path, spec, n_pairs=1000 if not args.quick else 64,
-                       image_size=112)
+        # in a SUBPROCESS: device generation attaches the accelerator, and a
+        # parent that keeps a live TPU client while train.py runs contends
+        # the single tunneled device into multi-minute stalls (CLAUDE.md)
+        code = ("import sys; sys.path.insert(0, %r); "
+                "from experiments.fullscale_tpu import make_synth_bin; "
+                "make_synth_bin(%r, %r, n_pairs=%d, image_size=112)" % (
+                    REPO, bin_path, spec, 1000 if not args.quick else 64))
+        subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO,
+                       env=RUN_ENV)
 
     # run.sh flag surface + the at-scale runtime knobs (device-resident
     # client states, client artifacts off, round state for resume)

@@ -59,34 +59,33 @@ class Client:
         self.target_ids = list(range(self.id_base, self.id_base + self.num_classes))
         self.rng = rng
 
+        # Per-client initializations run on the in-process CPU backend: the
+        # values are PRNG-determined (backend-independent), the arrays are
+        # tiny-to-moderate and upload in one burst at first use, and N
+        # clients x a few one-off device programs would otherwise serialize
+        # through the accelerator's compile path at startup (remote-compile
+        # rigs pay minutes per program).
         E = cfg.model.embedding_size
-        key = jax.random.PRNGKey(cfg.runtime.seed + 1000 + cid)
-        # FC_module init: N(0, 0.01) rows (client.py:66)
-        self.fc_local = np.asarray(
-            0.01 * jax.random.normal(key, (self.num_classes, E)), np.float32)
-        self.bce_vars: Optional[Dict[str, Any]] = None
-        if cfg.fed.bce_local:
-            bkey = jax.random.PRNGKey(cfg.runtime.seed + 2000 + cid)
-            self.bce_vars = jax.device_get(bce_module.init(
-                bkey, jnp.zeros((1, E)), jnp.zeros((1,), jnp.int32)))
-        # MOON "last model": randomly initialized at client creation
-        # (client.py:153), replaced by the trained backbone after each round.
-        # Kept device-resident under runtime.device_cache (it is consumed on
-        # device anyway); pulled via chunked slices otherwise — a whole-leaf
-        # device_get of a large backbone is pathological on some transports.
-        if cfg.fed.contrastive:
-            lkey = jax.random.PRNGKey(cfg.runtime.seed + 3000 + cid)
-            hw = cfg.data.image_size
-            init_vars = backbone.init(lkey, jnp.zeros((1, hw, hw, 3)),
-                                      train=False)
-            if cfg.runtime.device_cache:
-                self.last_backbone = init_vars
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            key = jax.random.PRNGKey(cfg.runtime.seed + 1000 + cid)
+            # FC_module init: N(0, 0.01) rows (client.py:66)
+            self.fc_local = np.asarray(
+                0.01 * jax.random.normal(key, (self.num_classes, E)),
+                np.float32)
+            self.bce_vars: Optional[Dict[str, Any]] = None
+            if cfg.fed.bce_local:
+                bkey = jax.random.PRNGKey(cfg.runtime.seed + 2000 + cid)
+                self.bce_vars = jax.device_get(bce_module.init(
+                    bkey, jnp.zeros((1, E)), jnp.zeros((1,), jnp.int32)))
+            # MOON "last model": randomly initialized at client creation
+            # (client.py:153), replaced by the trained backbone each round
+            if cfg.fed.contrastive:
+                lkey = jax.random.PRNGKey(cfg.runtime.seed + 3000 + cid)
+                hw = cfg.data.image_size
+                self.last_backbone = jax.device_get(backbone.init(
+                    lkey, jnp.zeros((1, hw, hw, 3)), train=False))
             else:
-                from ..utils.transfer import chunked_device_get
-
-                self.last_backbone = chunked_device_get(init_vars)
-        else:
-            self.last_backbone = None
+                self.last_backbone = None
 
         self.last_loss = 0.0
         self.trained_backbone: Optional[Dict[str, Any]] = None
