@@ -117,21 +117,22 @@ def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
 
     from ..data.datasets import BatchLoader
 
-    loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
     chunks = []
     labels_out = np.empty(n, dtype=np.int64)
     pos = 0
-    for imgs, labels, valid in loader.epoch():
-        nvalid = int(valid.sum())
-        u8 = jnp.asarray(imgs)
-        f = embed_fn(variables, u8, *args)
-        if flip_test:
-            f = f + embed_fn(variables, u8[:, :, ::-1, :], *args)
-        chunks.append(f[:nvalid])
-        labels_out[pos:pos + nvalid] = labels[:nvalid]
-        pos += nvalid
-        if progress is not None:
-            progress(pos, n)
+    with BatchLoader(dataset, batch_size, shuffle=False,
+                     drop_last=False) as loader:
+        for imgs, labels, valid in loader.epoch():
+            nvalid = int(valid.sum())
+            u8 = jnp.asarray(imgs)
+            f = embed_fn(variables, u8, *args)
+            if flip_test:
+                f = f + embed_fn(variables, u8[:, :, ::-1, :], *args)
+            chunks.append(f[:nvalid])
+            labels_out[pos:pos + nvalid] = labels[:nvalid]
+            pos += nvalid
+            if progress is not None:
+                progress(pos, n)
     feats = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
     if l2norm:
         feats = _l2norm_rows(feats)

@@ -5,6 +5,9 @@ import argparse
 
 
 def main(args):
+    from fedfr_tpu.utils.runtime import apply_platform_override
+
+    apply_platform_override()
     from fedfr_tpu.evalsuite.ijbc import run_ijbc
     from fedfr_tpu.federated.embed import auto_embed_fn
     from fedfr_tpu.models import build_backbone

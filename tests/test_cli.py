@@ -148,6 +148,27 @@ def test_train_cli_end_to_end(pipeline_root, trained_run):
     assert found
 
 
+def test_train_cli_plain_parallel(pipeline_root, tmp_path):
+    """Plain objective (no --add_pretrained_data) through the CLI trains
+    client-parallel over the virtual mesh instead of serializing
+    (reference Client.train, client.py:511-571)."""
+    import train as train_cli
+
+    outdir = tmp_path / "plainrun"
+    args = _train_args(pipeline_root, outdir, total_round=1)
+    args.add_pretrained_data = False
+    args.contrastive_bb = False
+    args.BCE_local = False
+    args.return_all = False
+    args.init_fc = False
+    args.spreadout = False
+    train_cli.main(args)
+    log = open(os.path.join(outdir, "training.log")).read()
+    assert "client-parallel training over" in log
+    assert "(parallel plain) avg client loss" in log
+    assert os.path.exists(os.path.join(outdir, "rounds", "round_1.meta.json"))
+
+
 def test_train_cli_resume(pipeline_root, tmp_path):
     import train as train_cli
 
