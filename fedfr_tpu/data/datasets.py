@@ -308,15 +308,28 @@ class AllClientData:
         self.client_datasets: List[FaceRecordDataset] = []
         self.synthetic_universe = None
         if is_synth_root(cfg.data.rec_root):
-            from .synthetic import build_fl_synthetic, parse_synth_spec
+            from .synthetic import (build_fl_synthetic, explicit_synth_keys,
+                                    parse_synth_spec)
 
             spec = parse_synth_spec(cfg.data.rec_root)
-            spec["clients"] = cfg.data.num_clients
+            explicit = explicit_synth_keys(cfg.data.rec_root)
+            # CLI flags fill in spec keys the string leaves defaulted; a
+            # spec-explicit key that CONTRADICTS its flag is an error (a
+            # silent override would rebuild a different universe than an
+            # earlier CLI given the same spec string — fc.pth/universe
+            # alignment depends on these)
+            overrides = {"clients": cfg.data.num_clients,
+                         "image_size": cfg.data.image_size,
+                         "seed": cfg.runtime.seed}
             if cfg.data.num_ids:
-                spec["ids_per_client"] = max(
+                overrides["ids_per_client"] = max(
                     1, cfg.data.num_ids // cfg.data.num_clients)
-            spec["image_size"] = cfg.data.image_size
-            spec["seed"] = cfg.runtime.seed
+            for k, v in overrides.items():
+                if k in explicit and spec[k] != v:
+                    raise ValueError(
+                        f"synth spec sets {k}={spec[k]} but the CLI config "
+                        f"implies {k}={v}; drop one of the two")
+                spec[k] = v
             self.synthetic_universe = build_fl_synthetic(spec)
             self.client_datasets = self.synthetic_universe["clients"]
             self.public_dataset = (self.synthetic_universe["public"]

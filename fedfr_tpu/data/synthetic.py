@@ -61,6 +61,13 @@ def parse_synth_spec(spec: str) -> Dict[str, float]:
     return out
 
 
+def explicit_synth_keys(spec: str) -> set:
+    """Keys the spec string names explicitly (vs defaulted).  CLIs use this
+    to detect spec-vs-flag conflicts instead of silently overriding."""
+    body = spec.split(":", 1)[1] if ":" in spec else ""
+    return {kv.split("=")[0].strip() for kv in body.split(",") if kv.strip()}
+
+
 def is_synth_spec(path: str) -> bool:
     return isinstance(path, str) and path.startswith("synth:")
 
@@ -241,9 +248,15 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
     PUBLIC_GID_OFFSET+j, optionally blended toward a random FL identity so
     mining finds hard negatives (reference client.py:191-224 semantics).
     """
-    rng = np.random.default_rng(int(spec["seed"]))
+    # independent per-split rng streams: the public/veri splits depend only
+    # on (seed, their own spec keys), so a pretrain.py universe and a
+    # train.py universe with different client multiplicities still agree on
+    # the public set (fc.pth row alignment depends on it)
+    seed = int(spec["seed"])
+    rng = np.random.default_rng([seed, 1])
+    rng_pub = np.random.default_rng([seed, 2])
     n_clients, ipc = int(spec["clients"]), int(spec["ids_per_client"])
-    size, noise, seed = int(spec["image_size"]), int(spec["noise"]), int(spec["seed"])
+    size, noise = int(spec["image_size"]), int(spec["noise"])
     block = int(spec.get("block", 4))
 
     clients = []
@@ -258,9 +271,13 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
 
     # public: exact total image count with per-ID counts in the split's range
     n_pub, total = int(spec["public_ids"]), int(spec["public_imgs"])
-    counts = rng.integers(int(spec["public_imgs_min"]),
-                          int(spec["public_imgs_max"]) + 1, n_pub)
-    # adjust to the exact total while respecting non-negativity
+    if total < n_pub:
+        raise ValueError(
+            f"synth spec: public_imgs={total} < public_ids={n_pub} — every "
+            f"public identity needs at least one image")
+    counts = rng_pub.integers(int(spec["public_imgs_min"]),
+                              int(spec["public_imgs_max"]) + 1, n_pub)
+    # adjust to the exact total while respecting counts >= 1
     delta = total - int(counts.sum())
     step = 1 if delta > 0 else -1
     i = 0
@@ -273,10 +290,10 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
     labels = np.repeat(np.arange(n_pub, dtype=np.int32), counts)
     gids = (PUBLIC_GID_OFFSET + np.arange(n_pub)).astype(np.int32)
     n_fl = n_clients * ipc
-    blend_gids = rng.integers(0, max(n_fl, 1), n_pub).astype(np.int32)
-    blend_on = rng.random(n_pub) < float(spec["blend_frac"])
+    blend_gids = rng_pub.integers(0, max(n_fl, 1), n_pub).astype(np.int32)
+    blend_on = rng_pub.random(n_pub) < float(spec["blend_frac"])
     blend_w = np.where(blend_on,
-                       rng.uniform(0.0, float(spec["blend"]), n_pub),
+                       rng_pub.uniform(0.0, float(spec["blend"]), n_pub),
                        0.0).astype(np.float32)
     public = SyntheticFaceDataset(labels, gids, id_base=0, seed=seed,
                                   dataset_seed=500_001, image_size=size,

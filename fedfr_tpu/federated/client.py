@@ -276,6 +276,7 @@ class Client:
         # (client.py:349-352,404) — with still only one host sync per epoch
         acc = jnp.zeros(4)
         n_steps = 0
+        sums = np.zeros(4, np.float32)  # stays zero if local_epochs == 0
         cos_trace = []
         for epoch in range(local_epochs):
             lr = step_lr(cfg.optim.lr, epoch, train_decay, cfg.optim.lr_gamma)

@@ -289,7 +289,10 @@ class Server:
                 self.federated_vars = chunked_device_get(aggregated)
 
             if cfg.fed.return_all and fcs:
-                self.pretrained_fc = np.asarray(fedavg_on_fc(
+                from ..utils.transfer import chunked_device_get
+
+                # (6000, E) f32 ~ 12 MB: bounded-slice fetch, not one buffer
+                self.pretrained_fc = chunked_device_get(fedavg_on_fc(
                     jnp.asarray(self.pretrained_fc),
                     jnp.stack([jnp.asarray(f) for f in fcs]),
                     weights, p=1.0))
@@ -457,7 +460,12 @@ class Server:
                 feed.close()  # joins the producer even on error
 
             avg_loss = np.asarray(jax.device_get(acc))[0] / max(step_no, 1)
-            states = unstack_tree(chunked_device_get(stacked), K)
+            # unstack ON DEVICE: finalize_local_run fetches only the leaves
+            # it keeps (fc/bce, + backbone unless --device_cache) — the
+            # optimizer momentum it discards never crosses the host link,
+            # and under device_cache backbones stay device-resident exactly
+            # like the sequential path
+            states = unstack_tree(stacked, len(group))
             for slot, cid in enumerate(group):
                 client = self.clients[cid]
                 client.finalize_local_run(states[slot], float(avg_loss[slot]))
@@ -478,7 +486,7 @@ class Server:
             self.federated_vars = (aggregated if cfg.runtime.device_cache
                                    else chunked_device_get(aggregated))
             if cfg.fed.return_all and fcs:
-                self.pretrained_fc = np.asarray(fedavg_on_fc(
+                self.pretrained_fc = chunked_device_get(fedavg_on_fc(
                     jnp.asarray(self.pretrained_fc),
                     jnp.stack([jnp.asarray(f) for f in fcs]), weights, p=1.0))
             if cfg.fed.spreadout:
@@ -504,6 +512,11 @@ class Server:
         if not self.current_client_list:
             self.current_client_list = self.sample_clients()
         self._ensure_residency()
+        # same adaptive local-epoch schedule as every other round path
+        # (reference server.py:278-280)
+        if cfg.fed.adaptive_local_epoch and self.global_round != 0:
+            self.local_epoch = max(4, self.local_epoch - 2)
+            self.train_decay = max(1, int(3 / 4 * self.local_epoch))
         K = mesh.shape["client"]
         if len({self.clients[cid].num_classes
                 for cid in self.current_client_list}) > 1:
@@ -521,6 +534,13 @@ class Server:
         batch_shard = NamedSharding(mesh, P("client", "data"))
         models, sizes, losses = [], [], []
         todo = list(self.current_client_list)
+        if self.local_eval_callback is not None and self.global_round == 0:
+            # pretrain baseline entry, epoch -1 (client.py:331-333) — same
+            # artifact as the sequential and branch-parallel paths
+            for cid in todo:
+                if cid in self.local_candidates:
+                    self.local_eval_callback(self, self.clients[cid], epoch=-1,
+                                             variables=self.federated_vars)
         lr = jnp.float32(cfg.optim.lr)  # constant over the run, as the
         # sequential path and the reference (client.py:528-530, no scheduler)
         for g0 in range(0, len(todo), K):
@@ -577,7 +597,8 @@ class Server:
                 l.close()
 
             avg_loss = np.asarray(jax.device_get(acc)) / max(step_no, 1)
-            states = unstack_tree(chunked_device_get(stacked), K)
+            # device-side unstack, as in the branch-parallel round above
+            states = unstack_tree(stacked, len(group))
             for slot, cid in enumerate(group):
                 client = self.clients[cid]
                 client.finalize_plain_run(states[slot], float(avg_loss[slot]))

@@ -53,11 +53,17 @@ def main(args):
         # device-synthetic public set at reference scale (data/synthetic.py);
         # the spec string must match train.py's so the produced fc.pth rows
         # line up with the same universe's public labels
-        from fedfr_tpu.data.synthetic import build_fl_synthetic, parse_synth_spec
+        from fedfr_tpu.data.synthetic import (build_fl_synthetic,
+                                              explicit_synth_keys,
+                                              parse_synth_spec)
 
         spec = parse_synth_spec(args.data_dir)
-        spec["image_size"] = args.image_size
-        spec["seed"] = args.seed
+        explicit = explicit_synth_keys(args.data_dir)
+        for k, v in (("image_size", args.image_size), ("seed", args.seed)):
+            if k in explicit and spec[k] != v:
+                raise ValueError(f"synth spec sets {k}={spec[k]} but the CLI "
+                                 f"passes {k}={v}; drop one of the two")
+            spec[k] = v
         dataset = build_fl_synthetic(spec)["public"]
     else:
         dataset = FaceRecordDataset(args.data_dir)

@@ -241,6 +241,31 @@ def test_parallel_plain_round_matches_sequential(fl_root):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_parallel_plain_round_applies_adaptive_epochs(fl_root):
+    """Past round 0, the plain-parallel path decays local_epoch exactly like
+    the sequential loop (reference server.py:278-280)."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_cfg(fl_root, add_pretrained_data=False,
+                    adaptive_local_epoch=True)
+    server = Server(cfg, AllClientData(cfg, include_public=False))
+    server.local_epoch = 10
+    server.global_round = 1
+    mesh = make_mesh((NUM_CLIENTS, 1, 1), devices=jax.devices()[:NUM_CLIENTS])
+    server.train_round_parallel(mesh)
+    assert server.local_epoch == 8
+
+
+def test_zero_local_epochs_is_noop(fl_root):
+    """--local_epoch 0 completes as a no-op run with loss 0 (regression:
+    the on-device loss accumulator left `sums` unbound)."""
+    cfg = _tiny_cfg(fl_root)
+    server = Server(cfg, AllClientData(cfg))
+    server.local_epoch = 0
+    stats = server.train_round()
+    assert stats["avg_loss"] == 0.0
+
+
 def test_fc_mining_selection_semantics(fl_root):
     """FC-row mining matches the reference row-selection math
     (choose_hard_negative, client.py:227-267): ids = unique columns of

@@ -33,6 +33,33 @@ def test_spec_defaults_are_reference_scale():
     assert spec["veri_ids"] == 4000 and spec["veri_imgs"] == 40
 
 
+def test_public_split_independent_of_client_multiplicities():
+    """pretrain.py builds the universe with the spec's client defaults while
+    train.py may override clients/ids_per_client from the CLI; the public
+    split (fc.pth row alignment) must not depend on those keys."""
+    a = build_fl_synthetic(parse_synth_spec(SPEC))["public"]
+    b = build_fl_synthetic(parse_synth_spec(
+        SPEC.replace("clients=3", "clients=5")))["public"]
+    assert np.array_equal(a.all_labels(), b.all_labels())
+    assert np.array_equal(a.class_gids, b.class_gids)
+
+
+def test_public_imgs_below_ids_rejected():
+    with pytest.raises(ValueError, match="public_imgs"):
+        build_fl_synthetic(parse_synth_spec(
+            "synth:public_ids=10,public_imgs=5"))
+
+
+def test_spec_flag_conflict_rejected():
+    from fedfr_tpu.config import FedFRConfig
+
+    cfg = FedFRConfig()
+    cfg.data.rec_root = "synth:clients=4,ids_per_client=2"
+    cfg.data.num_clients = 3  # contradicts the spec-explicit clients=4
+    with pytest.raises(ValueError, match="clients"):
+        AllClientData(cfg, include_public=False)
+
+
 def test_universe_structure(universe):
     clients, pub, veri = universe["clients"], universe["public"], universe["veri"]
     assert len(clients) == 3
