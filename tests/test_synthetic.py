@@ -230,6 +230,28 @@ def test_device_cache_keeps_backbones_on_device(tmp_path):
     assert server.timer.totals.get("phase/aggregate", 0) > 0
 
 
+def test_device_cache_keeps_backbones_on_device_parallel(tmp_path):
+    """The client-parallel round honors the --device_cache contract too:
+    trained backbones come back from the stacked state as device arrays
+    (regression: the parallel path fetched the whole stacked tree to host,
+    momentum included)."""
+    import jax
+
+    from fedfr_tpu.federated import Server
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg = _mini_cfg(tmp_path, device_cache=True)
+    data = AllClientData(cfg, include_public=True)
+    server = Server(cfg, data)
+    n = cfg.data.num_clients
+    mesh = make_mesh((n, 1, 1), devices=jax.devices()[:n])
+    server.train_round_parallel(mesh)
+    c = server.clients[0]
+    assert all(isinstance(leaf, jax.Array) for leaf in
+               jax.tree_util.tree_leaves(c.trained_backbone))
+    assert isinstance(c.fc_local, np.ndarray)
+
+
 def test_train_cli_synth_root(tmp_path):
     """train.py end-to-end on a synthetic universe with checkpoint gating:
     client artifacts disabled, round state saved, local eval driven from the
