@@ -458,6 +458,8 @@ class Server:
                                 group, epoch + 1, self.local_epoch)
             finally:
                 feed.close()  # joins the producer even on error
+                for l in loaders:
+                    l.close()
 
             avg_loss = np.asarray(jax.device_get(acc))[0] / max(step_no, 1)
             # unstack ON DEVICE: finalize_local_run fetches only the leaves
