@@ -177,7 +177,13 @@ class Server:
                                      self.data.public_dataset,
                                      self.cfg.data.public_batch_size,
                                      l2norm=True, return_device=True)
-            feats.block_until_ready()
+            # completion barrier via a one-row device_get:
+            # block_until_ready can return before the queued dispatches
+            # finish on some PJRT transports (measured: a 420k-image embed
+            # "completing" above the chip's roofline, the tail bleeding
+            # into the next phase's span), while a fetch of row 0 of the
+            # final array orders after every producing dispatch
+            np.asarray(jax.device_get(feats[:1]))
         return feats
 
     def _ensure_residency(self) -> None:
