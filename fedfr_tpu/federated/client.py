@@ -35,6 +35,22 @@ def _metrics_sum(acc, m):
     return acc + jnp.stack(list(m))
 
 
+def _run_key(seed: int, round_seed: int, cid: int):
+    """Per-(round, client) PRNG key for the jitted step's augmentation
+    stream.  Folds both ids into the stream — the old ``seed + 31*round +
+    cid`` summing collided across (round, client) pairs once num_clients
+    exceeded the multiplier (round 1 client 0 == round 0 client 31)."""
+    return jax.random.fold_in(jax.random.fold_in(
+        jax.random.PRNGKey(seed), round_seed), cid)
+
+
+def _loader_seed(seed: int, round_seed: int, cid: int) -> int:
+    """Per-(round, client) loader shuffle seed, collision-free for any
+    realistic client count (the old ``seed + 17*round + cid`` reused
+    streams across runs)."""
+    return seed + 1_000_003 * round_seed + cid
+
+
 def _clone_tree(tree):
     """Fresh device buffers for a pytree (host arrays upload).
 
@@ -187,7 +203,7 @@ class Client:
         self.dataset_size = len(combined)  # FedAvg weight update (client.py:303)
 
         loader = BatchLoader(combined, cfg.data.combined_batch_size, shuffle=True,
-                             seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+                             seed=_loader_seed(cfg.runtime.seed, round_seed, self.cid),
                              drop_last=True, num_workers=cfg.data.num_workers)
 
         # assemble device state: fc = [local ; global] (client.py:313).
@@ -268,8 +284,7 @@ class Client:
                 f"smaller than the batch size {cfg.data.combined_batch_size}")
         import time
 
-        key = jnp.asarray(jax.random.PRNGKey(
-            cfg.runtime.seed + 31 * round_seed + self.cid))
+        key = jnp.asarray(_run_key(cfg.runtime.seed, round_seed, self.cid))
         # all-step loss accumulation happens ON DEVICE (one fused 4-float
         # add per step); the reported average is the mean over every step of
         # the run — the reference's AverageMeter semantics
@@ -278,29 +293,33 @@ class Client:
         n_steps = 0
         sums = np.zeros(4, np.float32)  # stays zero if local_epochs == 0
         cos_trace = []
-        for epoch in range(local_epochs):
-            lr = step_lr(cfg.optim.lr, epoch, train_decay, cfg.optim.lr_gamma)
-            tic = time.time()
-            epoch_steps = 0
-            with self._span("phase/local_train"):
-                for imgs, labels, valid in loader.epoch():
-                    state, metrics = step_fn(state, global_vars, last_vars,
-                                             imgs, labels, valid, lr, key,
-                                             n_steps)
-                    acc = _metrics_sum(acc, metrics)
-                    n_steps += 1
-                    epoch_steps += 1
-                # pull the running sums once per epoch (this device_get is
-                # also the epoch's completion barrier for timing)
-                sums = np.asarray(jax.device_get(acc))
-            speed = (epoch_steps * cfg.data.combined_batch_size
-                     / max(time.time() - tic, 1e-9))
-            mean = sums / max(n_steps, 1)
-            cos_trace.append(float(mean[1]))
-            logger.info("client %d epoch %d/%d lr %.5f loss %.3f "
-                        "(cos %.3f bce %.3f con %.3f) %.1f samples/sec",
-                        self.cid, epoch + 1, local_epochs, lr,
-                        mean[0], mean[1], mean[2], mean[3], speed)
+        try:
+            for epoch in range(local_epochs):
+                lr = step_lr(cfg.optim.lr, epoch, train_decay,
+                             cfg.optim.lr_gamma)
+                tic = time.time()
+                epoch_steps = 0
+                with self._span("phase/local_train"):
+                    for imgs, labels, valid in loader.epoch():
+                        state, metrics = step_fn(state, global_vars, last_vars,
+                                                 imgs, labels, valid, lr, key,
+                                                 n_steps)
+                        acc = _metrics_sum(acc, metrics)
+                        n_steps += 1
+                        epoch_steps += 1
+                    # pull the running sums once per epoch (this device_get
+                    # is also the epoch's completion barrier for timing)
+                    sums = np.asarray(jax.device_get(acc))
+                speed = (epoch_steps * cfg.data.combined_batch_size
+                         / max(time.time() - tic, 1e-9))
+                mean = sums / max(n_steps, 1)
+                cos_trace.append(float(mean[1]))
+                logger.info("client %d epoch %d/%d lr %.5f loss %.3f "
+                            "(cos %.3f bce %.3f con %.3f) %.1f samples/sec",
+                            self.cid, epoch + 1, local_epochs, lr,
+                            mean[0], mean[1], mean[2], mean[3], speed)
+        finally:
+            base_loader.close()  # even on a mid-run failure
         loss_sum = sums
 
         # collapsed-feature diagnostic: with every pair cosine equal (e.g. an
@@ -320,7 +339,6 @@ class Client:
                     "explosion upstream, e.g. too-high pretrain lr)",
                     self.cid, sat, len(cos_trace))
 
-        base_loader.close()
         self.finalize_local_run(state, loss_sum[0] / max(n_steps, 1))
         return {"loss": self.last_loss, "steps": n_steps,
                 "dataset_size": self.dataset_size}
@@ -331,7 +349,7 @@ class Client:
         cfg = self.cfg
         loader = BatchLoader(
             self.dataset, cfg.data.batch_size, shuffle=True,
-            seed=cfg.runtime.seed + 17 * round_seed + self.cid,
+            seed=_loader_seed(cfg.runtime.seed, round_seed, self.cid),
             drop_last=False, num_workers=cfg.data.num_workers)
         state = init_client_state(
             _clone_tree(backbone_vars), jnp.asarray(self.fc_local), None)
@@ -363,18 +381,19 @@ class Client:
                 self.backbone, margin=cfg.loss.loss, s=cfg.loss.margin_s,
                 m=cfg.loss.margin_m, momentum=cfg.optim.momentum,
                 weight_decay=cfg.optim.weight_decay)
-        key = jnp.asarray(jax.random.PRNGKey(
-            cfg.runtime.seed + 31 * round_seed + self.cid))
+        key = jnp.asarray(_run_key(cfg.runtime.seed, round_seed, self.cid))
         loss_acc = jnp.zeros(())
         n_steps = 0
-        with self._span("phase/local_train"):
-            for _ in range(local_epochs):
-                for imgs, labels, valid in loader.epoch():
-                    state, loss = step_fn(state, imgs, labels, valid, lr,
-                                          key, n_steps)
-                    loss_acc = loss_acc + loss  # on-device running sum
-                    n_steps += 1
-        base_loader.close()
+        try:
+            with self._span("phase/local_train"):
+                for _ in range(local_epochs):
+                    for imgs, labels, valid in loader.epoch():
+                        state, loss = step_fn(state, imgs, labels, valid, lr,
+                                              key, n_steps)
+                        loss_acc = loss_acc + loss  # on-device running sum
+                        n_steps += 1
+        finally:
+            base_loader.close()
         # all-step mean, as the reference's AverageMeter (client.py:541-548)
         self.finalize_plain_run(state, float(loss_acc) / max(n_steps, 1))
         return {"loss": self.last_loss, "steps": n_steps,

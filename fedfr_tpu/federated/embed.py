@@ -138,7 +138,12 @@ def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
         feats = _l2norm_rows(feats)
     if return_device:
         return feats, labels_out
-    return np.asarray(feats), labels_out
+    from ..utils.transfer import chunked_device_get
+
+    # bounded-slice fetch: the full matrix can be huge (420k x 512 f32 =
+    # 860 MB for the public-set FC init) and some transports collapse on
+    # single large buffers
+    return chunked_device_get(feats), labels_out
 
 
 def class_mean_features(feats: np.ndarray, labels: np.ndarray,
@@ -191,8 +196,10 @@ def hard_negative_mask(local_feats: np.ndarray, public_feats: np.ndarray,
         end = min(start + chunk, n)
         buf = public_feats[start:end]
         if end - start < chunk:  # pad to static shape for jit reuse
-            buf = np.concatenate([buf, np.zeros((chunk - (end - start), buf.shape[1]),
-                                                buf.dtype)])
+            # jnp.pad keeps a device-resident public_feats on device (a host
+            # np.concatenate would silently device_get the whole chunk)
+            buf = jnp.pad(jnp.asarray(buf),
+                          ((0, chunk - (end - start)), (0, 0)))
         ms = np.asarray(_chunk_max_sim(lf, jnp.asarray(buf)))
         out[start:end] = ms[: end - start]
     return out > threshold

@@ -9,6 +9,7 @@ centers.  Evaluation is delegated to pluggable callbacks (evalsuite).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 from typing import Callable, Dict, List, Optional
@@ -26,7 +27,7 @@ from ..parallel.fedavg import (
     streaming_weighted_average,
 )
 from ..utils import torch_interop
-from .client import Client
+from .client import Client, _run_key
 from .embed import auto_embed_fn, class_mean_features, embed_dataset
 from .trainer import make_branch_train_step, make_plain_train_step
 
@@ -207,6 +208,81 @@ class Server:
         k = int(round(self.cfg.fed.client_sampled_ratio * n))
         return sorted(self.rng.choice(n, size=k, replace=False).tolist())
 
+    def _group_keys(self, members, client_shard):
+        """Per-client base keys, stacked on the client axis — same streams
+        as the sequential loop (the shared step counter folds in inside the
+        jitted step)."""
+        return jax.device_put(np.stack([np.asarray(_run_key(
+            self.cfg.runtime.seed, self.global_round, cid))
+            for cid in members]), client_shard)
+
+    @staticmethod
+    def _stack_for_group(parts, pad, shard):
+        """Stack per-client pytrees (padding slots repeat slot 0 — their
+        results are discarded after the run) and shard on the client axis."""
+        from ..parallel.fedavg import stack_trees
+
+        stacked = stack_trees(list(parts) + [parts[0]] * pad)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard),
+                                      stacked)
+
+    @contextlib.contextmanager
+    def _group_feed(self, group, loaders, pad, batch_shard, batch_size):
+        """Background-producer batch feed for one client-parallel group.
+
+        Shared plumbing of both parallel rounds: wrap-around per-client
+        iterators in lockstep, pad-slot batches (discarded later), an
+        empty-loader guard (one empty loader would make its cycling
+        generator never yield and hang the whole group's producer), and
+        guaranteed feed+loader shutdown on any exit path."""
+        if min(len(l) for l in loaders) == 0:
+            empty = [cid for cid, l in zip(group, loaders) if len(l) == 0]
+            raise ValueError(f"clients {empty}: dataset smaller than the "
+                             f"batch size {batch_size}")
+        steps_per_epoch = max(len(l) for l in loaders)
+
+        def cycling(loader):
+            while True:
+                yield from loader.epoch()
+
+        iters = [cycling(l) for l in loaders]
+        n_dispatches = self.local_epoch * steps_per_epoch
+
+        def device_batches():
+            from ..parallel.client_parallel import stack_client_batches
+
+            for _ in range(n_dispatches):
+                batches = [next(it) for it in iters]
+                batches += [batches[0]] * pad
+                imgs, labels, valid = stack_client_batches(batches)
+                yield (jax.device_put(imgs, batch_shard),
+                       jax.device_put(labels, batch_shard),
+                       jax.device_put(valid, batch_shard))
+
+        from ..data.pipeline import prefetched
+
+        feed = prefetched(device_batches(),
+                          depth=max(1, self.cfg.data.prefetch))
+        try:
+            yield feed, steps_per_epoch
+        finally:
+            feed.close()  # joins the producer even on error
+            for l in loaders:
+                l.close()
+
+    def _check_uniform_classes(self) -> None:
+        """The shared branch step bakes ``num_local`` from client 0 (the
+        reweight split of local vs global logit columns depends on it); a
+        client with a different local class count would silently split at
+        the wrong boundary.  The reference assumes uniform 100-ID clients
+        (split_FL.py); fail loudly on ragged shards."""
+        counts = {c.num_classes for c in self.clients}
+        if len(counts) > 1:
+            raise ValueError(
+                f"clients have ragged local class counts {sorted(counts)}; "
+                f"the joint branch objective requires uniform shards "
+                f"(reference split_FL.py relabels every client 0..99)")
+
     def train_round(self) -> Dict[str, float]:
         cfg = self.cfg
         if not self.current_client_list:
@@ -224,6 +300,8 @@ class Server:
             self.local_epoch = max(4, self.local_epoch - 2)
             self.train_decay = max(1, int(3 / 4 * self.local_epoch))
 
+        if cfg.fed.add_pretrained_data:
+            self._check_uniform_classes()
         if self._branch_step is None and cfg.fed.add_pretrained_data:
             self._branch_step = make_branch_train_step(
                 self.backbone, self.bce_module, margin=cfg.loss.loss,
@@ -321,11 +399,8 @@ class Server:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.client_parallel import (
-            make_parallel_branch_step,
-            stack_client_batches,
-        )
-        from ..parallel.fedavg import stack_trees, unstack_tree
+        from ..parallel.client_parallel import make_parallel_branch_step
+        from ..parallel.fedavg import unstack_tree
         from ..utils.transfer import chunked_device_get
 
         cfg = self.cfg
@@ -344,6 +419,7 @@ class Server:
             self.train_decay = max(1, int(3 / 4 * self.local_epoch))
 
         K = mesh.shape["client"]
+        self._check_uniform_classes()
         if self._parallel_step is None:  # one executable for all rounds
             self._parallel_step = make_parallel_branch_step(
                 self.backbone, self.bce_module, margin=cfg.loss.loss,
@@ -388,84 +464,39 @@ class Server:
                     self.pretrained_fc, public_feats, self.pretrained_labels,
                     round_seed=self.global_round))
             loaders = [p[1] for p in preps]
-            steps_per_epoch = max(len(l) for l in loaders)
-            if min(len(l) for l in loaders) == 0:
-                # one empty loader would make its cycling() generator never
-                # yield and hang the whole group's producer — fail like the
-                # sequential path does (client.py raises per client)
-                empty = [cid for cid, l in zip(group, loaders) if len(l) == 0]
-                raise ValueError(
-                    f"clients {empty}: combined dataset smaller than the "
-                    f"batch size {cfg.data.combined_batch_size}")
-
-            def cycling(loader):
-                while True:
-                    yield from loader.epoch()
-
-            iters = [cycling(l) for l in loaders]
-            stacked = stack_trees([p[2] for p in preps]
-                                  + [preps[0][2]] * pad)
-            stacked = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, client_shard), stacked)
-            last_stacked = stack_trees([p[3] for p in preps]
-                                       + [preps[0][3]] * pad)
-            last_stacked = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, client_shard), last_stacked)
+            stacked = self._stack_for_group([p[2] for p in preps], pad,
+                                            client_shard)
+            last_stacked = self._stack_for_group([p[3] for p in preps], pad,
+                                                 client_shard)
             global_repl = jax.tree_util.tree_map(
                 lambda x: jax.device_put(jnp.asarray(x), repl),
                 self.federated_vars)
+            keys = self._group_keys(members, client_shard)
 
-            # same per-client base keys as the sequential loop; the shared
-            # step counter folds in inside the jitted step
-            keys = jax.device_put(np.stack([np.asarray(jax.random.PRNGKey(
-                cfg.runtime.seed + 31 * self.global_round + cid))
-                for cid in members]), client_shard)
-
-            # background producer overlaps host decode + the host->device
-            # transfer with TPU compute (shared machinery with the
-            # sequential path's DevicePrefetcher —
-            # data/pipeline.py::prefetched handles abandoned-consumer
-            # shutdown and guaranteed sentinel delivery)
-            from ..data.pipeline import prefetched
-
-            n_dispatches = self.local_epoch * steps_per_epoch
-
-            def device_batches():
-                for _ in range(n_dispatches):
-                    batches = [next(it) for it in iters]
-                    batches += [batches[0]] * pad  # slots discarded later
-                    imgs, labels, valid = stack_client_batches(batches)
-                    yield (jax.device_put(imgs, batch_shard),
-                           jax.device_put(labels, batch_shard),
-                           jax.device_put(valid, batch_shard))
-
-            feed = prefetched(device_batches(),
-                              depth=max(1, cfg.data.prefetch))
             from ..federated.client import _metrics_sum
 
             acc = jnp.zeros((4, K))
             step_no = 0
-            try:
-                for epoch in range(self.local_epoch):
-                    lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
-                                 cfg.optim.lr_gamma)
-                    for s in range(steps_per_epoch):
-                        imgs_d, labels_d, valid_d = next(feed)
-                        stacked, metrics = step_fn(
-                            stacked, global_repl, last_stacked,
-                            imgs_d, labels_d, valid_d,
-                            jnp.float32(lr), keys, step_no)
-                        # on-device running sum -> the reported loss is the
-                        # all-step mean (reference AverageMeter semantics),
-                        # identical on the sequential path
-                        acc = _metrics_sum(acc, metrics)
-                        step_no += 1
-                    logger.info("parallel group %s epoch %d/%d done",
-                                group, epoch + 1, self.local_epoch)
-            finally:
-                feed.close()  # joins the producer even on error
-                for l in loaders:
-                    l.close()
+            with self._group_feed(group, loaders, pad, batch_shard,
+                                  cfg.data.combined_batch_size) as (
+                    feed, steps_per_epoch):
+                with self.timer.span("phase/local_train"):
+                    for epoch in range(self.local_epoch):
+                        lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
+                                     cfg.optim.lr_gamma)
+                        for s in range(steps_per_epoch):
+                            imgs_d, labels_d, valid_d = next(feed)
+                            stacked, metrics = step_fn(
+                                stacked, global_repl, last_stacked,
+                                imgs_d, labels_d, valid_d,
+                                jnp.float32(lr), keys, step_no)
+                            # on-device running sum -> the reported loss is
+                            # the all-step mean (reference AverageMeter
+                            # semantics), identical on the sequential path
+                            acc = _metrics_sum(acc, metrics)
+                            step_no += 1
+                        logger.info("parallel group %s epoch %d/%d done",
+                                    group, epoch + 1, self.local_epoch)
 
             avg_loss = np.asarray(jax.device_get(acc))[0] / max(step_no, 1)
             # unstack ON DEVICE: finalize_local_run fetches only the leaves
@@ -508,12 +539,8 @@ class Server:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..data.pipeline import prefetched
-        from ..parallel.client_parallel import (
-            make_parallel_plain_step,
-            stack_client_batches,
-        )
-        from ..parallel.fedavg import stack_trees, unstack_tree
+        from ..parallel.client_parallel import make_parallel_plain_step
+        from ..parallel.fedavg import unstack_tree
         from ..utils.transfer import chunked_device_get
 
         cfg = self.cfg
@@ -559,38 +586,15 @@ class Server:
                 self.federated_vars, round_seed=self.global_round)
                 for cid in group]
             loaders = [p[0] for p in preps]
-            steps_per_epoch = max(len(l) for l in loaders)
-            if min(len(l) for l in loaders) == 0:
-                empty = [cid for cid, l in zip(group, loaders) if len(l) == 0]
-                raise ValueError(f"clients {empty}: empty dataset")
+            stacked = self._stack_for_group([p[1] for p in preps], pad,
+                                            client_shard)
+            keys = self._group_keys(members, client_shard)
 
-            def cycling(loader):
-                while True:
-                    yield from loader.epoch()
-
-            iters = [cycling(l) for l in loaders]
-            stacked = stack_trees([p[1] for p in preps] + [preps[0][1]] * pad)
-            stacked = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, client_shard), stacked)
-            keys = jax.device_put(np.stack([np.asarray(jax.random.PRNGKey(
-                cfg.runtime.seed + 31 * self.global_round + cid))
-                for cid in members]), client_shard)
-
-            n_dispatches = self.local_epoch * steps_per_epoch
-
-            def device_batches():
-                for _ in range(n_dispatches):
-                    batches = [next(it) for it in iters]
-                    batches += [batches[0]] * pad
-                    imgs, labels, valid = stack_client_batches(batches)
-                    yield (jax.device_put(imgs, batch_shard),
-                           jax.device_put(labels, batch_shard),
-                           jax.device_put(valid, batch_shard))
-
-            feed = prefetched(device_batches(), depth=max(1, cfg.data.prefetch))
             acc = jnp.zeros(K)
             step_no = 0
-            try:
+            with self._group_feed(group, loaders, pad, batch_shard,
+                                  cfg.data.batch_size) as (
+                    feed, steps_per_epoch):
                 with self.timer.span("phase/local_train"):
                     for epoch in range(self.local_epoch):
                         for s in range(steps_per_epoch):
@@ -599,10 +603,6 @@ class Server:
                                                     valid_d, lr, keys, step_no)
                             acc = acc + loss
                             step_no += 1
-            finally:
-                feed.close()
-            for l in loaders:
-                l.close()
 
             avg_loss = np.asarray(jax.device_get(acc)) / max(step_no, 1)
             # device-side unstack, as in the branch-parallel round above
@@ -630,10 +630,14 @@ class Server:
 
     def spread_out(self) -> None:
         """SpreadOut over the sampled clients' local FCs (server.py:340-371)."""
+        from ..utils.transfer import chunked_device_get
+
         cfg = self.cfg
         fcs = [self.clients[cid].fc_local for cid in self.current_client_list]
         fc_all = jnp.asarray(np.concatenate(fcs, axis=0))
-        out = np.asarray(spreadout(
+        # bounded-slice fetch: 40 x 100 x 512 f32 = 8.2 MB, over the
+        # single-buffer collapse threshold of some transports
+        out = chunked_device_get(spreadout(
             fc_all, margin=cfg.fed.spreadout_margin, iters=cfg.fed.spreadout_iters,
             lr=cfg.optim.lr * 10, momentum=cfg.optim.momentum,
             weight_decay=cfg.optim.weight_decay, mode=cfg.fed.spreadout_mode))
@@ -644,9 +648,16 @@ class Server:
             start += n
 
     def advance_round(self) -> None:
-        """Counter bookkeeping after a round (reference train.py:87-88)."""
+        """Counter bookkeeping after a round (reference train.py:87-88).
+
+        Clears the round's client sample so the next round draws a fresh
+        one — without this a driver looping plain ``train_round()`` with
+        client_sampled_ratio < 1 would silently train the round-0 subset
+        forever (train.py resamples explicitly; library callers may not).
+        """
         self.global_epoch += self.local_epoch
         self.global_round += 1
+        self.current_client_list = []
 
     def test(self) -> Optional[Dict[str, float]]:
         if self.eval_callback is not None:
