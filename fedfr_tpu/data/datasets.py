@@ -88,20 +88,21 @@ class FaceRecordDataset:
         return codec.decode(payload), int(header.scalar_label)
 
     def read_label(self, pos: int) -> int:
-        header, _ = self.reader.read_idx(int(self.imgidx[pos]))
-        return int(header.scalar_label)
+        return int(self.reader.read_header(
+            int(self.imgidx[pos])).scalar_label)
 
     def all_labels(self, full: bool = False) -> np.ndarray:
         """Labels of the active subset (or the full split with ``full=True``).
 
-        Cached for the full split; the active-subset view indexes the cache.
+        Cached for the full split; the active-subset view indexes the
+        cache.  Header-only preads: the scan touches ~36 bytes/record, not
+        the JPEG payloads (a 420k-image split is multi-GB of payload).
         """
         if self._labels is None:
             n = self.meta.num_images
             labels = np.empty(n, dtype=np.int32)
             for key in range(1, n + 1):
-                header, _ = self.reader.read_idx(key)
-                labels[key - 1] = int(header.scalar_label)
+                labels[key - 1] = int(self.reader.read_header(key).scalar_label)
             self._labels = labels
         if full:
             return self._labels
@@ -184,10 +185,17 @@ class CombinedDataset:
         return imgs, labels
 
     def read_batch(self, positions: np.ndarray):
+        # either part may lack native batch decode (e.g. a synthetic split
+        # mixed with a rec split): fall back to the caller's per-item read
+        # path instead of raising
+        rb_l = getattr(self.local, "read_batch", None)
+        rb_p = getattr(self.public, "read_batch", None)
+        if rb_l is None or rb_p is None:
+            return None
         positions = np.asarray(positions)
         is_local = positions < self.local_len
-        out_l = self.local.read_batch(positions[is_local]) if is_local.any() else ((), ())
-        out_p = (self.public.read_batch(positions[~is_local] - self.local_len)
+        out_l = rb_l(positions[is_local]) if is_local.any() else ((), ())
+        out_p = (rb_p(positions[~is_local] - self.local_len)
                  if (~is_local).any() else ((), ()))
         if (is_local.any() and out_l is None) or ((~is_local).any() and out_p is None):
             return None

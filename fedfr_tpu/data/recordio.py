@@ -86,8 +86,14 @@ def unpack(record: bytes) -> Tuple[IRHeader, bytes]:
 
 def _frame(body: bytes) -> bytes:
     n = len(body)
+    if n > _LEN_MASK:
+        # the wire format stores length in 29 bits (mxnet splits larger
+        # payloads into continuation records, which this writer does not
+        # emit) — fail loudly instead of writing a corrupt frame
+        raise ValueError(f"record body {n} bytes exceeds the 29-bit frame "
+                         f"limit ({_LEN_MASK} bytes)")
     pad = (-n) % 4
-    return struct.pack("<II", _MAGIC, n & _LEN_MASK) + body + b"\x00" * pad
+    return struct.pack("<II", _MAGIC, n) + body + b"\x00" * pad
 
 
 class IndexedRecordWriter:
@@ -144,11 +150,32 @@ class IndexedRecordReader:
         magic, lrec = struct.unpack("<II", head)
         if magic != _MAGIC:
             raise IOError(f"bad record magic {magic:#x} at offset {off}")
+        if lrec >> 29:  # multi-part continuation record (cflag != 0)
+            raise IOError(
+                f"record at offset {off} uses mxnet continuation framing "
+                f"(cflag {lrec >> 29}), which this reader does not support")
         length = lrec & _LEN_MASK
         return os.pread(self._fd, length, off + 8)
 
     def read_idx(self, key: int) -> Tuple[IRHeader, bytes]:
         return unpack(self.read_record(key))
+
+    def read_header(self, key: int) -> IRHeader:
+        """Header-only read: preads the 8-byte frame + IRHeader (+ label
+        array when flag > 0) instead of the whole record — a label scan
+        over a multi-GB rec touches ~36 bytes/record instead of the full
+        JPEG payloads."""
+        off = self._offsets[key]
+        head = os.pread(self._fd, 8 + _IR_SIZE, off)
+        magic, lrec = struct.unpack("<II", head[:8])
+        if magic != _MAGIC:
+            raise IOError(f"bad record magic {magic:#x} at offset {off}")
+        flag, label, rid, rid2 = struct.unpack(_IR_FORMAT, head[8:])
+        if flag > 0:
+            body = os.pread(self._fd, flag * 4, off + 8 + _IR_SIZE)
+            return IRHeader(flag, np.frombuffer(body, dtype=np.float32),
+                            rid, rid2)
+        return IRHeader(flag, label, rid, rid2)
 
     def close(self) -> None:
         if self._fd >= 0:

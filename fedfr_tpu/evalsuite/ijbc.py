@@ -261,7 +261,10 @@ def pair_scores_device(template_feats, unique_templates: np.ndarray,
         _DEVICE_JITS["score"] = score_all
     out = _DEVICE_JITS["score"](template_feats, jnp.asarray(i1),
                                 jnp.asarray(i2), chunk)
-    return np.asarray(out).reshape(-1)[:n]
+    from ..utils.transfer import chunked_device_get
+
+    # ~62 MB at IJB-C scale: bounded-slice fetch (repo transfer rule)
+    return chunked_device_get(out).reshape(-1)[:n]
 
 
 # ------------------------------------------------------------------- metrics
@@ -375,7 +378,11 @@ def extract_ijbc_features(embed_fn, variables, root_path: str,
         with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(align_one, range(n), chunksize=256))
         if cache_path:
-            np.save(cache_path, imgs)
+            try:  # best-effort, like the .bin decode cache (verification.py)
+                np.save(cache_path, imgs)
+            except OSError as e:
+                logger.warning("could not write alignment cache %s: %s",
+                               cache_path, e)
 
     # pin weights to device once (host-numpy trees would re-upload the
     # backbone per batch; see federated/embed.py::embed_dataset)
@@ -496,10 +503,13 @@ def run_ijbc(embed_fn, variables, root_path: str, result_dir: str, epoch: int = 
         pfeats, _, pids = aggregate(img_feats, templates, medias,
                                     probe_t, probe_s)
         mask = gen_mask(pids, gids)
-        # template matrices are small (~20k x E); the open-set heap logic
-        # stays host-side
-        rank, pr = identification_1n(np.asarray(pfeats, np.float32),
-                                     np.asarray(gfeats, np.float32), mask)
+        from ..utils.transfer import chunked_device_get
+
+        # ~20k x E f32 = tens of MB: bounded-slice fetch when device-resident;
+        # the open-set heap logic stays host-side
+        rank, pr = identification_1n(
+            chunked_device_get(pfeats).astype(np.float32, copy=False),
+            chunked_device_get(gfeats).astype(np.float32, copy=False), mask)
         results["rank"] = rank
         results["tpir_at_fpir"] = pr
         save_dir = os.path.join(result_dir, f"{target.lower()}-1:n")

@@ -72,14 +72,14 @@ def open_set_identification(query_feats: np.ndarray, gallery_feats: np.ndarray,
     return result, list(fars)
 
 
-def client_query_mask(labels: np.ndarray, start_id: int, end_id: int,
-                      imgs_per_id: int = 40) -> np.ndarray:
+def client_query_mask(labels: np.ndarray, start_id: int,
+                      end_id: int) -> np.ndarray:
     """Build the query->gallery mask for one client (local_all.py:399-406).
 
     The reference slices rows positionally ([start_id*40, end_id*40)),
     relying on the veri rec's by-identity ordering with 40 imgs each; masking
     by label value is identical on that layout and also correct for any
-    image-per-identity count.
+    image-per-identity count (hence no imgs-per-id parameter).
     """
     labels = np.asarray(labels)
     in_client = (labels >= start_id) & (labels < end_id)

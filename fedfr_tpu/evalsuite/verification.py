@@ -170,4 +170,8 @@ class BinVerificationCallback:
         return accs
 
     def is_best(self, round_idx: int) -> bool:
+        """True when this round set a new best on the LAST val target —
+        deliberately mirroring the reference, which gates its best-model
+        checkpoint on ``highest_acc_list[-1]`` only (server.py:142); with
+        the default single target (agedb_30) the distinction is moot."""
         return bool(self.highest) and self.highest[-1][0] == round_idx

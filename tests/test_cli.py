@@ -215,7 +215,7 @@ def test_local_all_cli(pipeline_root, trained_run, tmp_path):
     gal = FaceRecordDataset(os.path.join(out, f"local_gallery_{NUM_IDS}"), prefix="test")
     gfeats, glabels = embed_dataset(embed_fn, variables, gal, 16)
     cg = class_mean_features(gfeats, glabels, NUM_IDS)[:ids_per_client]
-    mask = client_query_mask(labels, 0, ids_per_client, imgs_per_id=TEST_IMGS)
+    mask = client_query_mask(labels, 0, ids_per_client)
     res, fars = open_set_identification(feats.copy(), cg, mask, fars=[0.1, 0.5],
                                         recall_denominator=TEST_IMGS * ids_per_client)
     assert len(res) == 2

@@ -266,7 +266,7 @@ def test_open_set_identification_reference_math():
 
 def test_client_query_mask():
     labels = np.repeat(np.arange(6), 2)  # 6 ids x 2 imgs
-    mask = client_query_mask(labels, 2, 4, imgs_per_id=2)
+    mask = client_query_mask(labels, 2, 4)
     np.testing.assert_array_equal(mask[:4], [-1, -1, -1, -1])
     np.testing.assert_array_equal(mask[4:8], [0, 0, 1, 1])
     np.testing.assert_array_equal(mask[8:], [-1, -1, -1, -1])

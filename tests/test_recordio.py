@@ -55,6 +55,47 @@ def test_wire_format_framing(tmp_path):
     assert r.read_record(2) == b"xyzw"
 
 
+def test_header_only_read_matches_full(tmp_path):
+    """read_header preads only the frame+IRHeader bytes yet returns the
+    same header as a full-record read (label scans use it)."""
+    idx, rec = str(tmp_path / "h.idx"), str(tmp_path / "h.rec")
+    with IndexedRecordWriter(idx, rec) as w:
+        w.write_idx(1, pack(IRHeader(0, 9.0, 1, 0), b"x" * 1000))
+        w.write_idx(2, pack(IRHeader(2, np.array([5.0, 3.0]), 2, 0), b"y"))
+    r = IndexedRecordReader(idx, rec)
+    h1 = r.read_header(1)
+    assert (h1.flag, h1.scalar_label, h1.id) == (0, 9.0, 1)
+    h2 = r.read_header(2)
+    np.testing.assert_array_equal(np.asarray(h2.label), [5.0, 3.0])
+    assert r.read_idx(1)[0].scalar_label == h1.scalar_label
+
+
+def test_oversize_and_continuation_records_rejected(tmp_path):
+    """The 29-bit frame limit and mxnet continuation flags fail loudly
+    instead of silently corrupting (regression: length was masked)."""
+    # cheap oversize probe without allocating 512 MB: fake the length
+    import fedfr_tpu.data.recordio as rio
+
+    class _B(bytes):
+        def __len__(self):
+            return rio._LEN_MASK + 1
+
+    with pytest.raises(ValueError, match="29-bit"):
+        rio._frame(_B())
+
+    idx, rec = str(tmp_path / "c.idx"), str(tmp_path / "c.rec")
+    with IndexedRecordWriter(idx, rec) as w:
+        w.write_idx(1, b"abcd")
+    # flip a continuation flag into the stored length word
+    raw = bytearray(open(rec, "rb").read())
+    magic, lrec = struct.unpack("<II", raw[:8])
+    struct.pack_into("<II", raw, 0, magic, lrec | (1 << 29))
+    open(rec, "wb").write(bytes(raw))
+    r = IndexedRecordReader(idx, rec)
+    with pytest.raises(IOError, match="continuation"):
+        r.read_record(1)
+
+
 def test_split_roundtrip(tiny_split):
     ds = FaceRecordDataset(tiny_split)
     assert len(ds) == 24
