@@ -24,6 +24,10 @@ def kfold_indices(n: int, n_splits: int) -> List[Tuple[np.ndarray, np.ndarray]]:
     idx = np.arange(n)
     if n_splits <= 1:
         return [(idx, idx)]
+    if n < n_splits:
+        # empty test folds would divide by zero downstream and report NaN
+        # accuracy silently; fail loudly like sklearn's KFold
+        raise ValueError(f"cannot split {n} pairs into {n_splits} folds")
     sizes = np.full(n_splits, n // n_splits, dtype=int)
     sizes[: n % n_splits] += 1
     out = []

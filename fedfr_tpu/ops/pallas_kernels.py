@@ -205,12 +205,19 @@ def roc_histogram(feats, labels, target_size: int, tile_i: int = 512,
     """
     feats = jnp.asarray(feats, jnp.float32)
     n, e = feats.shape
+    if n == 0 or target_size <= 0:
+        # no target rows -> no pairs; the grid/BlockSpec machinery cannot
+        # slice a 0-row operand (the XLA paths return zeros via a 0-trip
+        # loop — match them)
+        return jnp.zeros(2 * bins, jnp.int32)
     tile_i = min(tile_i, n)
     tile_j = min(tile_j, n)
-    import math
-
-    step = math.lcm(tile_i, tile_j)
-    npad = ((n + step - 1) // step) * step
+    num_i = (min(target_size, n) + tile_i - 1) // tile_i
+    # pad to a tile_j multiple that also covers the i-tile span — NOT
+    # lcm(tile_i, tile_j), which blows up 64-256x for mid-size inputs
+    # (same scheme as roc_histogram.py::pairwise_roc_histogram_device)
+    need = max(n, num_i * tile_i)
+    npad = ((need + tile_j - 1) // tile_j) * tile_j
     labels = jnp.asarray(labels, jnp.int32)
     if npad > n:
         feats = jnp.concatenate([feats, jnp.zeros((npad - n, e), jnp.float32)])
@@ -218,7 +225,6 @@ def roc_histogram(feats, labels, target_size: int, tile_i: int = 512,
     gidx = jnp.arange(npad, dtype=jnp.int32).reshape(-1, 1)
     tmask = (gidx < target_size).astype(jnp.int32)
     rmask = (gidx < n).astype(jnp.int32)
-    num_i = (min(target_size, n) + tile_i - 1) // tile_i
     labels = labels.reshape(-1, 1)
     ni = num_i * tile_i
     out = roc_histogram_pair(

@@ -157,9 +157,6 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
     shard runs the fused Pallas kernel (pallas_kernels.roc_histogram_pair);
     elsewhere the XLA sort-based scan.
     """
-    from jax.sharding import PartitionSpec as P
-    from jax import shard_map
-
     n, e = np.shape(feats)
     nd = mesh.shape[axis]
     if use_pallas is None:
@@ -190,12 +187,40 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
     gi = gidx[: num_i * tile_i]
 
     if use_pallas:
+        ti = (gi < target_size).astype(jnp.int32)
+        fn = _sharded_jit(mesh, axis, True, tile_i, tile_j, num_i, interpret)
+        return fn(fi, li, ti, gi, f, l, gidx, jnp.int32(n))
+
+    fn = _sharded_jit(mesh, axis, False, tile_i, tile_j, num_i, interpret)
+    return fn(fi, li, gi, f, l, gidx, jnp.int32(target_size), jnp.int32(n))
+
+
+_SHARD_JITS: dict = {}
+
+
+def _sharded_jit(mesh, axis: str, use_pallas: bool, tile_i: int, tile_j: int,
+                 num_i: int, interpret: bool):
+    """Module-cached jitted shard_map program for the sharded histogram.
+
+    A per-call closure + jax.jit(fn) would retrace and XLA-recompile the
+    whole program on EVERY invocation (a fresh jit cache each time) — at
+    one eval per candidate client per round, minutes of recompiles on
+    remote-compile rigs.  n/target_size enter as traced scalars so only
+    shape/tile changes recompile.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    key = (mesh, axis, use_pallas, tile_i, tile_j, num_i, interpret)
+    fn = _SHARD_JITS.get(key)
+    if fn is not None:
+        return fn
+
+    if use_pallas:
         from .pallas_kernels import roc_histogram_pair
 
-        ti = (gi < target_size).astype(jnp.int32)
-
-        def body(fi, li, ti, gi, fj, lj, gj):
-            rj = (gj < n).astype(jnp.int32)
+        def body(fi, li, ti, gi, fj, lj, gj, n_):
+            rj = (gj < n_).astype(jnp.int32)
             out = roc_histogram_pair(
                 fi, li.reshape(-1, 1), ti.reshape(-1, 1), gi.reshape(-1, 1),
                 fj, lj.reshape(-1, 1), rj.reshape(-1, 1), gj.reshape(-1, 1),
@@ -203,21 +228,23 @@ def pairwise_roc_histogram_sharded(mesh, feats, labels, target_size: int,
                 interpret=interpret)
             return jax.lax.psum(out.reshape(-1)[: 2 * NUM_BINS], axis)
 
-        fn = shard_map(body, mesh=mesh,
-                       in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis)),
-                       out_specs=P(), check_vma=False)
-        return jax.jit(fn)(fi, li, ti, gi, f, l, gidx)
+        fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis), P()),
+            out_specs=P(), check_vma=False))
+    else:
+        def body(fi, li, gi, fj, lj, gj, tsize, n_):
+            hist = _tiled_histogram_scan(fi, li, gi, fj, lj, gj, tsize, n_,
+                                         tile_i=tile_i, tile_j=tile_j,
+                                         num_i=num_i)
+            return jax.lax.psum(hist, axis)
 
-    def body(fi, li, gi, fj, lj, gj):
-        hist = _tiled_histogram_scan(fi, li, gi, fj, lj, gj,
-                                     jnp.int32(target_size), jnp.int32(n),
-                                     tile_i=tile_i, tile_j=tile_j, num_i=num_i)
-        return jax.lax.psum(hist, axis)
-
-    fn = shard_map(body, mesh=mesh,
-                   in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)),
-                   out_specs=P(), check_vma=False)
-    return jax.jit(fn)(fi, li, gi, f, l, gidx)
+        fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(), P()),
+            out_specs=P(), check_vma=False))
+    _SHARD_JITS[key] = fn
+    return fn
 
 
 def pairwise_roc_histogram(feats: np.ndarray, labels: np.ndarray,

@@ -4,7 +4,8 @@ The reference only saves torch state_dicts and cannot resume a federated run
 mid-training (SURVEY.md §5).  Here:
 
 * ``save_native``/``load_native`` — portable flat .npz of any pytree
-  (backbone variables, FC matrices, BCE params);
+  (backbone variables, FC matrices, BCE params).  Structure round-trips
+  exactly, except tuples load back as lists;
 * ``RoundCheckpointer`` — whole-run state (global model, every client's FC /
   BCE / last-model, round counter, RNG) so training resumes exactly at the
   next round boundary.
@@ -23,10 +24,16 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k in sorted(tree):
-            out.update(_flatten(tree[k], f"{prefix}{k}/"))
+            # escape dict keys that could be mistaken for indices — a dict
+            # with digit-string keys (e.g. client ids) used to round-trip
+            # into a list
+            ek = f"={k}" if (k[:1] in ("#", "=") or k.isdigit()) else k
+            out.update(_flatten(tree[k], f"{prefix}{ek}/"))
     elif isinstance(tree, (list, tuple)):
+        # '#'-prefixed indices keep list elements distinguishable from
+        # dict keys
         for i, v in enumerate(tree):
-            out.update(_flatten(v, f"{prefix}{i}/"))
+            out.update(_flatten(v, f"{prefix}#{i}/"))
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -45,9 +52,14 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
+        if keys and all(k.startswith("#") and k[1:].isdigit() for k in keys):
+            return [convert(node[k]) for k in sorted(keys, key=lambda k: int(k[1:]))]
         if keys and all(k.isdigit() for k in keys):
+            # legacy checkpoints (pre-'#' format) stored list indices bare;
+            # new saves escape digit dict keys, so this only fires on them
             return [convert(node[k]) for k in sorted(keys, key=int)]
-        return {k: convert(v) for k, v in node.items()}
+        return {k[1:] if k.startswith("=") else k: convert(v)
+                for k, v in node.items()}
 
     return convert(root)
 

@@ -49,7 +49,9 @@ def init_logging(output_dir: str, name: str = "fedfr_tpu",
         hs.setFormatter(fmt)
         root.addHandler(hs)
     os.makedirs(output_dir, exist_ok=True)
-    hf = logging.FileHandler(os.path.join(output_dir, log_name), mode="w")
+    # append: a --resume run must not wipe the original run's rounds from
+    # training.log (resume-chunked long runs are a documented workflow)
+    hf = logging.FileHandler(os.path.join(output_dir, log_name), mode="a")
     hf.setLevel(logging.DEBUG)
     hf.setFormatter(fmt)
     root.addHandler(hf)

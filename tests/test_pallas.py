@@ -50,6 +50,39 @@ def test_roc_histogram_kernel_matches_xla():
         assert a.sum() == ts * n - ts * (ts + 1) // 2 if ts <= n else True
 
 
+def test_roc_histogram_empty_target_returns_zeros():
+    """target_size == 0 (a client with no rows in the veri set) returns a
+    zero histogram like the XLA paths instead of crashing on a 0-row
+    operand slice."""
+    from fedfr_tpu.ops.pallas_kernels import roc_histogram
+
+    rng = np.random.default_rng(2)
+    f = rng.standard_normal((40, 16)).astype(np.float32)
+    l = rng.integers(0, 4, 40).astype(np.int32)
+    out = np.asarray(roc_histogram(f, l, 0, tile_i=16, tile_j=32,
+                                   interpret=True))
+    assert out.shape == (2 * 2001,) and out.sum() == 0
+
+
+def test_roc_histogram_non_lcm_tiles_match_xla():
+    """Mismatched tile sizes pad to the tile_j cover, not lcm(tile_i,
+    tile_j) (regression: lcm padding blew up 26x for coprime-ish tiles)."""
+    from fedfr_tpu.ops.pallas_kernels import roc_histogram
+    from fedfr_tpu.ops.roc_histogram import pairwise_roc_histogram_device
+
+    rng = np.random.default_rng(3)
+    n, ts = 100, 30
+    f = rng.standard_normal((n, 16)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    l = rng.integers(0, 6, n).astype(np.int32)
+    a = np.asarray(roc_histogram(f, l, ts, tile_i=14, tile_j=22,
+                                 interpret=True))
+    b = np.asarray(pairwise_roc_histogram_device(f, l, ts, tile_i=14,
+                                                 tile_j=22))
+    np.testing.assert_array_equal(a, b)
+    assert a.sum() == ts * n - ts * (ts + 1) // 2
+
+
 def test_sharded_pallas_histogram_matches_xla():
     """Per-shard Pallas kernel inside shard_map (interpret mode on the
     8-device CPU mesh) == the XLA sharded scan == the single-device scan."""

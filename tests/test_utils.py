@@ -7,6 +7,33 @@ import numpy as np
 import pytest
 
 
+def test_save_native_digit_key_dict_roundtrip(tmp_path):
+    """A dict with digit-string keys (e.g. client ids) round-trips as a
+    dict, and lists as lists (regression: digit keys came back as lists)."""
+    from fedfr_tpu.utils.checkpoint import load_native, save_native
+
+    tree = {"0": np.arange(3), "1": np.ones(2),
+            "nested": [np.zeros(1), {"7": np.ones(1)}]}
+    save_native(tree, str(tmp_path / "t"))
+    out = load_native(str(tmp_path / "t"))
+    assert isinstance(out, dict) and set(out) == {"0", "1", "nested"}
+    assert isinstance(out["nested"], list) and len(out["nested"]) == 2
+    assert isinstance(out["nested"][1], dict) and set(out["nested"][1]) == {"7"}
+    np.testing.assert_array_equal(out["0"], np.arange(3))
+
+
+def test_init_logging_appends_on_reinit(tmp_path):
+    """--resume must not truncate the original run's training.log."""
+    from fedfr_tpu.utils.logging import init_logging
+
+    log = init_logging(str(tmp_path))
+    log.info("first-run line")
+    init_logging(str(tmp_path))
+    logging.getLogger("fedfr_tpu").info("resumed line")
+    text = open(os.path.join(str(tmp_path), "training.log")).read()
+    assert "first-run line" in text and "resumed line" in text
+
+
 def test_plot_roc_curves(tmp_path):
     pytest.importorskip("matplotlib")
     from fedfr_tpu.utils.plot import plot_roc_curves
