@@ -32,14 +32,24 @@ def build_library() -> Optional[str]:
     # portable codegen by default; FEDFR_NATIVE_ARCH=native (or any -march
     # value) opts in to host-specific tuning for dedicated deployments
     arch = os.environ.get("FEDFR_NATIVE_ARCH", "")
+    # compile to a per-pid temp path and rename into place: concurrent
+    # processes racing the build must never dlopen a half-written .so or
+    # rewrite pages of a library another process has mapped (rename is
+    # atomic; the old inode stays valid for processes holding it)
+    tmp_so = f"{_SO}.{os.getpid()}.tmp"
     cmd = (["g++", "-O3"] + ([f"-march={arch}"] if arch else [])
            + ["-std=c++17", "-shared", "-fPIC",
-              _SRC, "-o", _SO, "-ljpeg", "-lpthread"])
+              _SRC, "-o", tmp_so, "-ljpeg", "-lpthread"])
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        os.replace(tmp_so, _SO)
         return _SO
     except Exception as e:  # pragma: no cover - toolchain-dependent
         logger.warning("native loader build failed: %s", e)
+        try:
+            os.unlink(tmp_so)
+        except OSError:
+            pass
         return None
 
 

@@ -65,6 +65,10 @@ bool parse_record(const Handle* h, int64_t key, Record* out) {
   std::memcpy(&magic, h->base + off, 4);
   std::memcpy(&lrec, h->base + off + 4, 4);
   if (magic != kMagic) return false;
+  // mxnet continuation framing (cflag != 0, bodies split over multiple
+  // records) is unsupported: fail like the Python reader does instead of
+  // decoding a truncated first fragment as a whole record
+  if (lrec >> 29) return false;
   size_t len = lrec & kLenMask;
   if (off + 8 + len > h->size) return false;
   const uint8_t* body = h->base + off + 8;

@@ -7,7 +7,7 @@
 import argparse
 
 
-def load_backbone_variables(network: str, path: str, embedding_size: int = 512):
+def load_backbone_variables(network: str, path: str):
     from fedfr_tpu.utils import torch_interop
     from fedfr_tpu.utils.checkpoint import load_native
 

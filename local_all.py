@@ -32,7 +32,10 @@ def main(args):
 
     backbone = build_backbone(args.network, args.embedding_size,
                               bf16=not args.fp32)
-    bce_module = BCEModule(args.embedding_size, args.num_ids // args.num_client)
+    # converter_layer must match training (the bce_module.npz fallback is
+    # written exactly when the converter is a BottleBlock, i.e. != 1)
+    bce_module = BCEModule(args.embedding_size, args.num_ids // args.num_client,
+                           converter_layers=getattr(args, "converter_layer", 1))
     embed_fn_plain = auto_embed_fn(backbone)
     embed_fn_conv = auto_embed_fn(backbone, bce_module)
 
@@ -172,4 +175,7 @@ if __name__ == "__main__":
                         help="reference-compat alias (bf16 trunk is default)")
     parser.add_argument("--batch_size", type=int, default=512)
     parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--converter_layer", type=int, default=1,
+                        help="BCE transformation layer used in training: "
+                             "1=linear, else BottleBlock")
     main(parser.parse_args())

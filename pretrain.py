@@ -146,18 +146,30 @@ def main(args):
         lambda x: jax.device_put(jnp.asarray(x), batch_sharding), wopt)
 
     milestones = [int(m) for m in args.lr_steps.split(",") if m]
-    loader = DevicePrefetcher(
-        BatchLoader(dataset, args.batch_size, shuffle=True, seed=args.seed,
-                    drop_last=True, num_workers=args.num_workers))
+    base_loader = BatchLoader(dataset, args.batch_size, shuffle=True,
+                              seed=args.seed, drop_last=True,
+                              num_workers=args.num_workers)
+    # resume fidelity: replay the already-trained epochs' permutation draws
+    # so a resumed run continues the uninterrupted run's shuffle stream
+    # instead of repeating epoch 0's batch order (RoundCheckpointer's
+    # bit-for-bit standard, utils/checkpoint.py)
+    for _ in range(start_epoch):
+        base_loader.rng.permutation(len(dataset))
+    loader = DevicePrefetcher(base_loader)
     meter = AverageMeter()
     total_step = args.num_epoch * len(loader.loader)
     tlog = ThroughputLogger(args.log_every, total_step, args.batch_size, logger)
-    rng = jax.random.PRNGKey(args.seed + 7)
+    key = jax.random.PRNGKey(args.seed + 7)
     gstep = start_epoch * len(loader.loader)
     for epoch in range(start_epoch, args.num_epoch):
         lr = args.lr * (0.1 ** sum(1 for m in milestones if m - 1 <= epoch))
+        step_in_epoch = 0
         for u8, labels, valid in loader.epoch():
-            rng, sub = jax.random.split(rng)
+            # per-(epoch, step) keys: resume-stable (a split chain restarts
+            # from position 0 on resume) and identical uninterrupted
+            sub = jax.random.fold_in(jax.random.fold_in(key, epoch),
+                                     step_in_epoch)
+            step_in_epoch += 1
             u8 = jax.device_put(u8, batch_sharding)
             labels = jax.device_put(labels, batch_sharding)
             params, batch_stats, weight, opt, wopt, loss = train_step(
@@ -168,9 +180,18 @@ def main(args):
             tlog(gstep, meter, epoch)
         logger.info("epoch %d done, lr %.5f", epoch, lr)
 
-        out_vars = {"params": jax.device_get(params)}
-        if batch_stats is not None:
-            out_vars["batch_stats"] = jax.device_get(batch_stats)
+        # ONE bounded-slice fetch per tree per epoch (chunked_device_get:
+        # >8 MB single buffers collapse ~50x on some transports, and the
+        # 98 MB fc1 leaf was previously pulled twice)
+        from fedfr_tpu.utils.transfer import chunked_device_get
+
+        host_params = chunked_device_get(params)
+        host_weight = chunked_device_get(weight)
+        host_bs = (chunked_device_get(batch_stats)
+                   if batch_stats is not None else None)
+        out_vars = {"params": host_params}
+        if host_bs is not None:
+            out_vars["batch_stats"] = host_bs
         try:
             sd = torch_interop.backbone_to_torch(args.network, out_vars)
             torch_interop.save_pth(sd, os.path.join(args.output_dir, "backbone.pth"))
@@ -178,19 +199,19 @@ def main(args):
             save_native(out_vars, os.path.join(args.output_dir, "backbone.npz"))
         import torch
 
-        fc_full = np.asarray(jax.device_get(weight))[:num_valid]
+        fc_full = np.ascontiguousarray(host_weight[:num_valid])
         torch_interop.save_pth(torch.from_numpy(fc_full),
                                os.path.join(args.output_dir, "fc.pth"))
         torch_interop.save_pth(
             torch.from_numpy(labels_all.astype(np.int64)),
             os.path.join(args.output_dir, "preCos_pretrain_labels.pth"))
-        state = {"params": jax.device_get(params),
-                 "weight": jax.device_get(weight),
-                 "opt_momentum": jax.device_get(opt.momentum),
-                 "wopt_momentum": jax.device_get(wopt.momentum),
+        state = {"params": host_params,
+                 "weight": host_weight,
+                 "opt_momentum": chunked_device_get(opt.momentum),
+                 "wopt_momentum": chunked_device_get(wopt.momentum),
                  "epoch": np.int64(epoch)}
-        if batch_stats is not None:
-            state["batch_stats"] = jax.device_get(batch_stats)
+        if host_bs is not None:
+            state["batch_stats"] = host_bs
         save_native(state, state_path)
     logger.info("pretraining done")
 

@@ -57,6 +57,7 @@ def build_config(args) -> "FedFRConfig":
     # getattr: harness code (tests, experiment drivers) may pass trimmed
     # Namespaces predating these flags
     cfg.model.freeze_bn = getattr(args, "freeze_bn", False)
+    cfg.model.converter_layers = getattr(args, "converter_layer", 1)
     cfg.runtime.device_cache = getattr(args, "device_cache", False)
     cfg.runtime.client_ckpt_every = getattr(args, "client_ckpt_every", 1)
     cfg.runtime.round_ckpt_every = getattr(args, "round_ckpt_every", 1)
@@ -69,7 +70,7 @@ def main(args):
     from fedfr_tpu.utils.runtime import apply_platform_override
 
     apply_platform_override()
-    from fedfr_tpu.data.datasets import AllClientData, FaceRecordDataset
+    from fedfr_tpu.data.datasets import AllClientData
     from fedfr_tpu.evalsuite.verification import BinVerificationCallback
     from fedfr_tpu.federated import Server
     from fedfr_tpu.utils import torch_interop
@@ -96,7 +97,7 @@ def main(args):
     if cfg.data.val_root:
         bin_cb = BinVerificationCallback(
             server._embed_fn, cfg.runtime.val_targets, cfg.data.val_root,
-            logger=logger,
+            batch_size=cfg.data.eval_batch_size, logger=logger,
             image_size=(cfg.data.image_size, cfg.data.image_size))
 
     local_cb = None
@@ -274,6 +275,9 @@ if __name__ == "__main__":
     parser.add_argument("--freeze_bn", action="store_true",
                         help="train with BatchNorm in inference mode "
                              "(reference freeze_BN, iresnet.py:140-156)")
+    parser.add_argument("--converter_layer", type=int, default=1,
+                        help="BCE transformation layer: 1=linear, else "
+                             "BottleBlock (reference cfg.converter_layer)")
     parser.add_argument("--device_cache", action="store_true",
                         help="keep client/global backbones device-resident "
                              "across rounds (no per-round host round-trips)")
