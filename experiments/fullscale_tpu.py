@@ -196,7 +196,8 @@ def main():
            "--rec_root", spec, "--local_rec", "synth",
            "--val_root", val_dir,
            "--device_cache", "--client_ckpt_every", "0",
-           "--round_ckpt_every", "1", "--scan_blocks"]
+           "--round_ckpt_every", "1", "--round_ckpt_keep", "2",
+           "--scan_blocks"]
     if args.resume:
         cmd.append("--resume")
     dt = run(cmd)

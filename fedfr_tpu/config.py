@@ -131,6 +131,9 @@ class RuntimeConfig:
                                         # every round, client.py:484-495)
     round_ckpt_every: int = 1           # global backbone_%d + resume-state
                                         # save period in rounds (0 = never)
+    round_ckpt_keep: int = 0            # retain only the newest N resume
+                                        # states (0 = keep all); a reference-
+                                        # scale round state is ~7.6 GB
 
 
 @dataclass

@@ -92,3 +92,43 @@ def test_throughput_logger(caplog):
             meter.update(1.0)
             tlog(step, meter, epoch=0)
     assert any("samples/sec" in r.message for r in caplog.records)
+
+
+def test_round_checkpointer_retention(tmp_path):
+    """``keep=N`` retains only the newest N resume states after each save
+    (a reference-scale round state is ~7.6 GB; 20-round runs need pruning),
+    and resume restores from the newest retained round."""
+    from fedfr_tpu.utils.checkpoint import RoundCheckpointer
+
+    class _Client:
+        def __init__(self, cid):
+            self.cid = cid
+            self.fc_local = np.full((2, 4), float(cid), np.float32)
+            self.bce_vars = None
+            self.last_backbone = None
+
+    class _Server:
+        def __init__(self):
+            self.federated_vars = {"w": np.zeros(3, np.float32)}
+            self.pretrained_fc = None
+            self.clients = [_Client(0), _Client(1)]
+            self.global_round = 1
+            self.global_epoch = 0
+            self.local_epoch = 10
+            self.train_decay = 0
+            self.rng = np.random.default_rng(100)
+
+    srv = _Server()
+    ckpt = RoundCheckpointer(str(tmp_path), keep=2)
+    for r in (1, 2, 3):
+        srv.global_round = r
+        srv.federated_vars = {"w": np.full(3, float(r), np.float32)}
+        ckpt.save(srv)
+    names = sorted(os.listdir(str(tmp_path)))
+    assert names == ["round_2.meta.json", "round_2.npz",
+                     "round_3.meta.json", "round_3.npz"]
+    assert ckpt.latest() == 3
+    restored = RoundCheckpointer(str(tmp_path)).restore(srv)
+    assert restored == 3
+    np.testing.assert_array_equal(srv.federated_vars["w"],
+                                  np.full(3, 3.0, np.float32))

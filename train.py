@@ -61,6 +61,7 @@ def build_config(args) -> "FedFRConfig":
     cfg.runtime.device_cache = getattr(args, "device_cache", False)
     cfg.runtime.client_ckpt_every = getattr(args, "client_ckpt_every", 1)
     cfg.runtime.round_ckpt_every = getattr(args, "round_ckpt_every", 1)
+    cfg.runtime.round_ckpt_keep = getattr(args, "round_ckpt_keep", 0)
     if args.val_targets:
         cfg.runtime.val_targets = args.val_targets.split(",")
     return cfg
@@ -151,7 +152,8 @@ def main(args):
 
     from fedfr_tpu.utils.checkpoint import RoundCheckpointer
 
-    ckpt = RoundCheckpointer(os.path.join(cfg.runtime.output_dir, "rounds"))
+    ckpt = RoundCheckpointer(os.path.join(cfg.runtime.output_dir, "rounds"),
+                             keep=cfg.runtime.round_ckpt_keep)
     if args.resume:
         restored = ckpt.restore(server)
         logger.info("resumed at round %d", restored)
@@ -287,6 +289,10 @@ if __name__ == "__main__":
     parser.add_argument("--round_ckpt_every", type=int, default=1,
                         help="save backbone_%%d + resume state every N "
                              "rounds (0 = never)")
+    parser.add_argument("--round_ckpt_keep", type=int, default=0,
+                        help="retain only the newest N resume states "
+                             "(0 = keep all; one reference-scale state "
+                             "is ~7.6 GB)")
     # dead reference flags, accepted as no-ops so verbatim reference
     # commands run (reference train.py:109-123; --lr_step is "Not actually
     # used" per train.py:130, the others guard commented-out branches)
