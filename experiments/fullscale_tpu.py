@@ -206,9 +206,11 @@ def main():
     stamps, phases, mem, mined, losses = parse_training_log(
         os.path.join(run_dir, "training.log"))
     summary["round_stamps"] = stamps
-    # cumulative -> per-round deltas
+    # cumulative -> per-round deltas (a resumed process restarts its
+    # cumulative span totals at 0)
     for name, vals in phases.items():
-        deltas = [round(b - a, 1) for a, b in zip([0.0] + vals[:-1], vals)]
+        deltas = [round(b - (a if b >= a else 0.0), 1)
+                  for a, b in zip([0.0] + vals[:-1], vals)]
         summary[name] = deltas
     summary["memory_mb"] = mem
     if mined:

@@ -25,22 +25,31 @@ def main(path):
     text = open(path).read()
     out = {}
 
-    rounds = [(m.group(1), int(m.group(2))) for m in re.finditer(
-        r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}).*====== Round (\d+) ======",
-        text)]
-    done = re.search(r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}).*training done",
-                     text)
-    bounds = [ts(s) for s, _ in rounds] + ([ts(done.group(1))] if done else [])
-    out["round_wall_s"] = [round(b - a, 1)
-                           for a, b in zip(bounds, bounds[1:])]
+    # round starts and per-process "training done" markers, in log order: a
+    # resumed run appends several processes to one training.log, and a
+    # round's wall clock must end at its own process's done marker, not at
+    # the next process's first round (hours of idle gap otherwise)
+    events = sorted(
+        [(m.start(), ts(m.group(1)), int(m.group(2))) for m in re.finditer(
+            r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}).*====== Round (\d+) ======",
+            text)] +
+        [(m.start(), ts(m.group(1)), None) for m in re.finditer(
+            r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}).*training done", text)])
+    out["round_wall_s"] = {
+        r: round(t1 - t0, 1)
+        for (_, t0, r), (_, t1, _) in zip(events, events[1:])
+        if r is not None}
 
-    # per-client wall clock: "round R [i/N] client C training" stamps
-    starts = [(ts(m.group(1)), int(m.group(2)), int(m.group(4))) for m in
+    # per-client wall clock: "round R [i/N] client C training" stamps.
+    # i == 1 resets the chain so the last client of a round never pairs with
+    # the next round's first (which may start hours later in a resumed run).
+    starts = [(ts(m.group(1)), int(m.group(2)), int(m.group(3))) for m in
               re.finditer(r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}).*round (\d+) "
                           r"\[(\d+)/(\d+)\] client (\d+) training", text)]
     per_round = {}
-    for (t0, r, n), (t1, _, _) in zip(starts, starts[1:]):
-        per_round.setdefault(r, []).append(t1 - t0)
+    for (t0, r, _), (t1, r1, i1) in zip(starts, starts[1:]):
+        if r1 == r and i1 != 1:
+            per_round.setdefault(r, []).append(t1 - t0)
     out["client_wall_s"] = {
         r: {"n": len(v), "mean": round(float(np.mean(v)), 1),
             "min": round(float(np.min(v)), 1),
@@ -52,7 +61,9 @@ def main(path):
     for m in re.finditer(r"span (phase/\S+)\s+total\s+([0-9.]+)s", text):
         phases.setdefault(m.group(1), []).append(float(m.group(2)))
     for name, vals in phases.items():
-        out[name] = [round(b - a, 1) for a, b in zip([0.0] + vals[:-1], vals)]
+        # cumulative within one process; a resumed process restarts at 0
+        out[name] = [round(b - (a if b >= a else 0.0), 1)
+                     for a, b in zip([0.0] + vals[:-1], vals)]
 
     mem = re.findall(
         r"device in_use (\d+) MB peak (\d+) MB \| host maxrss (\d+) MB", text)
