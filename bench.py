@@ -415,10 +415,17 @@ def main():
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception:  # transient tunnel/compile hiccups: one retry
-        import traceback
+    # transient tunnel/compile hiccups (backend UNAVAILABLE, dropped
+    # connections) are a measured failure mode on tunneled rigs: retry on a
+    # spacing that lets a short outage pass rather than immediately re-dying
+    import traceback
 
-        traceback.print_exc()
-        main()
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            traceback.print_exc()
+            if attempt == 2:
+                raise
+            time.sleep(90 * (attempt + 1))
