@@ -134,6 +134,9 @@ class RuntimeConfig:
     round_ckpt_keep: int = 0            # retain only the newest N resume
                                         # states (0 = keep all); a reference-
                                         # scale round state is ~7.6 GB
+    round_ckpt_async: bool = False      # overlap resume-state npz writes
+                                        # with the next round (fetch stays
+                                        # synchronous)
 
 
 @dataclass

@@ -98,12 +98,25 @@ class RoundCheckpointer:
     ``keep`` round states are retained (0 = keep all).  One reference-scale
     round state is ~7.6 GB (40 x sphere64/E512 client states + global), so a
     20-round run without retention needs ~150 GB of checkpoint disk.
+
+    ``async_write`` overlaps the npz serialization (zlib-compressing a
+    reference-scale state is minutes of single-core work) with the next
+    round: ``save`` still fetches device state synchronously — the values
+    mutate as soon as the next round starts — then hands the host copy to a
+    writer thread.  At most one write is outstanding; writer errors surface
+    on the next ``save``/``restore``/``wait``.  The meta.json is written
+    after the npz completes, so a crash mid-write never leaves a round that
+    ``restore`` would pick up.
     """
 
-    def __init__(self, directory: str, keep: int = 0):
+    def __init__(self, directory: str, keep: int = 0,
+                 async_write: bool = False):
         self.directory = directory
         self.keep = keep
+        self.async_write = async_write
         self.last_extra: dict = {}
+        self._writer = None
+        self._write_err: Optional[BaseException] = None
         os.makedirs(directory, exist_ok=True)
 
     def save(self, server, extra: Optional[dict] = None) -> str:
@@ -124,7 +137,6 @@ class RoundCheckpointer:
             },
         }
         path = os.path.join(self.directory, f"round_{server.global_round}")
-        save_native(state, path)
         meta = {"global_round": server.global_round,
                 "global_epoch": server.global_epoch,
                 "local_epoch": server.local_epoch,
@@ -133,10 +145,37 @@ class RoundCheckpointer:
                 # client_sampled_ratio < 1 repeats the fresh-run draws
                 "rng_state": server.rng.bit_generator.state,
                 "extra": extra or {}}
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
-        self._prune()
+        self.wait()  # one outstanding write; surface prior writer errors
+        if self.async_write:
+            import threading
+
+            self._writer = threading.Thread(
+                target=self._write, args=(state, path, meta),
+                name=f"round-ckpt-write-{server.global_round}", daemon=True)
+            self._writer.start()
+        else:
+            self._write(state, path, meta)
+            self.wait()  # surface the error in the caller, not later
         return path + ".npz"
+
+    def _write(self, state, path: str, meta: dict) -> None:
+        try:
+            save_native(state, path)
+            with open(path + ".meta.json", "w") as f:
+                json.dump(meta, f)
+            self._prune()
+        except BaseException as e:  # raised on the caller's next wait()
+            self._write_err = e
+
+    def wait(self) -> None:
+        """Join the outstanding async write (must run before process exit)
+        and re-raise any error it hit."""
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
+        if self._write_err is not None:
+            err, self._write_err = self._write_err, None
+            raise err
 
     def _rounds(self) -> list:
         rounds = []
@@ -161,6 +200,7 @@ class RoundCheckpointer:
         return rounds[-1] if rounds else None
 
     def restore(self, server, round_idx: Optional[int] = None) -> int:
+        self.wait()
         if round_idx is None:
             round_idx = self.latest()
         if round_idx is None:

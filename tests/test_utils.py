@@ -132,3 +132,52 @@ def test_round_checkpointer_retention(tmp_path):
     assert restored == 3
     np.testing.assert_array_equal(srv.federated_vars["w"],
                                   np.full(3, 3.0, np.float32))
+
+
+def test_round_checkpointer_async_write(tmp_path, monkeypatch):
+    """async_write hands serialization to a writer thread: wait() joins it,
+    restore() sees the completed state, retention still applies, and a
+    writer-thread error surfaces on the next wait()."""
+    from fedfr_tpu.utils import checkpoint as ckpt_mod
+    from fedfr_tpu.utils.checkpoint import RoundCheckpointer
+
+    class _Client:
+        def __init__(self, cid):
+            self.cid = cid
+            self.fc_local = np.full((2, 4), float(cid), np.float32)
+            self.bce_vars = None
+            self.last_backbone = None
+
+    class _Server:
+        def __init__(self):
+            self.federated_vars = {"w": np.zeros(3, np.float32)}
+            self.pretrained_fc = None
+            self.clients = [_Client(0)]
+            self.global_round = 1
+            self.global_epoch = 0
+            self.local_epoch = 10
+            self.train_decay = 0
+            self.rng = np.random.default_rng(100)
+
+    srv = _Server()
+    ckpt = RoundCheckpointer(str(tmp_path), keep=1, async_write=True)
+    for r in (1, 2):
+        srv.global_round = r
+        srv.federated_vars = {"w": np.full(3, float(r), np.float32)}
+        ckpt.save(srv)
+    ckpt.wait()
+    assert sorted(os.listdir(str(tmp_path))) == ["round_2.meta.json",
+                                                 "round_2.npz"]
+    assert RoundCheckpointer(str(tmp_path)).restore(srv) == 2
+    np.testing.assert_array_equal(srv.federated_vars["w"],
+                                  np.full(3, 2.0, np.float32))
+
+    # writer-thread errors surface on the next wait(), not silently
+    def boom(tree, path):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ckpt_mod, "save_native", boom)
+    srv.global_round = 3
+    ckpt.save(srv)
+    with pytest.raises(OSError, match="disk full"):
+        ckpt.wait()

@@ -62,6 +62,7 @@ def build_config(args) -> "FedFRConfig":
     cfg.runtime.client_ckpt_every = getattr(args, "client_ckpt_every", 1)
     cfg.runtime.round_ckpt_every = getattr(args, "round_ckpt_every", 1)
     cfg.runtime.round_ckpt_keep = getattr(args, "round_ckpt_keep", 0)
+    cfg.runtime.round_ckpt_async = getattr(args, "round_ckpt_async", False)
     if args.val_targets:
         cfg.runtime.val_targets = args.val_targets.split(",")
     return cfg
@@ -153,7 +154,8 @@ def main(args):
     from fedfr_tpu.utils.checkpoint import RoundCheckpointer
 
     ckpt = RoundCheckpointer(os.path.join(cfg.runtime.output_dir, "rounds"),
-                             keep=cfg.runtime.round_ckpt_keep)
+                             keep=cfg.runtime.round_ckpt_keep,
+                             async_write=cfg.runtime.round_ckpt_async)
     if args.resume:
         restored = ckpt.restore(server)
         logger.info("resumed at round %d", restored)
@@ -221,6 +223,7 @@ def main(args):
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3)
         except Exception:
             pass
+    ckpt.wait()  # join any outstanding async resume-state write
     timer.report(logger)
     logger.info("training done")
 
@@ -293,6 +296,10 @@ if __name__ == "__main__":
                         help="retain only the newest N resume states "
                              "(0 = keep all; one reference-scale state "
                              "is ~7.6 GB)")
+    parser.add_argument("--round_ckpt_async", action="store_true",
+                        help="overlap resume-state serialization with the "
+                             "next round (device state is still fetched "
+                             "synchronously)")
     # dead reference flags, accepted as no-ops so verbatim reference
     # commands run (reference train.py:109-123; --lr_step is "Not actually
     # used" per train.py:130, the others guard commented-out branches)
