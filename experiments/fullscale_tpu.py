@@ -35,6 +35,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from logparse import phase_deltas  # noqa: E402
 
 FULL_SPEC = "synth:clients=40,ids_per_client=100,block=8"
 QUICK_SPEC = ("synth:clients=4,ids_per_client=8,public_ids=60,"
@@ -102,15 +104,15 @@ def run(cmd, log_path=None):
 
 
 def parse_training_log(path: str):
-    """Round wall-clocks, cumulative phase totals per round, memory lines."""
+    """Round wall-clocks, per-round phase deltas, memory lines."""
     text = open(path).read()
     # timestamped round starts
     stamps = [(m.group(1), int(m.group(2))) for m in re.finditer(
         r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}).*====== Round (\d+) ======",
         text)]
-    phases = {}
-    for m in re.finditer(r"span (phase/\S+)\s+total\s+([0-9.]+)s", text):
-        phases.setdefault(m.group(1), []).append(float(m.group(2)))
+    # per-round deltas of the cumulative span totals, reset per process
+    # banner (shared with harvest_fullscale.py)
+    phases = phase_deltas(text)
     mem = [(float(m.group(1)), float(m.group(2)), float(m.group(3)))
            for m in re.finditer(
                r"device in_use (\d+) MB peak (\d+) MB \| host maxrss (\d+) MB",
@@ -206,12 +208,7 @@ def main():
     stamps, phases, mem, mined, losses = parse_training_log(
         os.path.join(run_dir, "training.log"))
     summary["round_stamps"] = stamps
-    # cumulative -> per-round deltas (a resumed process restarts its
-    # cumulative span totals at 0)
-    for name, vals in phases.items():
-        deltas = [round(b - (a if b >= a else 0.0), 1)
-                  for a, b in zip([0.0] + vals[:-1], vals)]
-        summary[name] = deltas
+    summary.update(phases)  # already per-round deltas
     summary["memory_mb"] = mem
     if mined:
         summary["mined_imgs_per_client"] = {

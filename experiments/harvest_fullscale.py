@@ -8,11 +8,15 @@ distributions the DESIGN.md writeup quotes:
 """
 
 import json
+import os
 import re
 import sys
 from datetime import datetime
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from logparse import phase_deltas  # noqa: E402
 
 STAMP = "%Y-%m-%d %H:%M:%S"
 
@@ -56,14 +60,8 @@ def main(path):
             "max": round(float(np.max(v)), 1)}
         for r, v in per_round.items()}
 
-    # cumulative phase spans -> per-round deltas
-    phases = {}
-    for m in re.finditer(r"span (phase/\S+)\s+total\s+([0-9.]+)s", text):
-        phases.setdefault(m.group(1), []).append(float(m.group(2)))
-    for name, vals in phases.items():
-        # cumulative within one process; a resumed process restarts at 0
-        out[name] = [round(b - (a if b >= a else 0.0), 1)
-                     for a, b in zip([0.0] + vals[:-1], vals)]
+    # cumulative phase spans -> per-round deltas (process-banner-keyed)
+    out.update(phase_deltas(text))
 
     mem = re.findall(
         r"device in_use (\d+) MB peak (\d+) MB \| host maxrss (\d+) MB", text)

@@ -122,6 +122,9 @@ class RoundCheckpointer:
     def save(self, server, extra: Optional[dict] = None) -> str:
         from .transfer import chunked_device_get
 
+        # join the previous write BEFORE fetching a new host copy: otherwise
+        # two full states (~GBs at reference scale) are resident at once
+        self.wait()
         state = {
             "federated": chunked_device_get(server.federated_vars),
             "pretrained_fc": np.asarray(server.pretrained_fc)
@@ -145,7 +148,6 @@ class RoundCheckpointer:
                 # client_sampled_ratio < 1 repeats the fresh-run draws
                 "rng_state": server.rng.bit_generator.state,
                 "extra": extra or {}}
-        self.wait()  # one outstanding write; surface prior writer errors
         if self.async_write:
             import threading
 
@@ -187,11 +189,24 @@ class RoundCheckpointer:
     def _prune(self) -> None:
         if self.keep <= 0:
             return
-        for r in self._rounds()[:-self.keep]:
+        complete = self._rounds()
+        for r in complete[:-self.keep]:
             base = os.path.join(self.directory, f"round_{r}")
             for suffix in (".npz", ".meta.json"):
                 try:
                     os.remove(base + suffix)
+                except OSError:
+                    pass
+        # a crash mid-async-write leaves a truncated round_K.npz with no
+        # meta.json; restore() never picks it up, but without this sweep it
+        # would survive every prune pass and defeat the disk bound
+        for name in os.listdir(self.directory):
+            if not (name.startswith("round_") and name.endswith(".npz")):
+                continue
+            stem = name[len("round_"):-len(".npz")]
+            if stem.lstrip("-").isdigit() and int(stem) not in complete:
+                try:
+                    os.remove(os.path.join(self.directory, name))
                 except OSError:
                     pass
 

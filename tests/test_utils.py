@@ -181,3 +181,60 @@ def test_round_checkpointer_async_write(tmp_path, monkeypatch):
     ckpt.save(srv)
     with pytest.raises(OSError, match="disk full"):
         ckpt.wait()
+
+
+def test_round_checkpointer_prunes_orphan_npz(tmp_path):
+    """A crash mid-async-write leaves round_K.npz with no meta.json; the
+    next prune pass must delete it or it defeats the --round_ckpt_keep disk
+    bound forever (restore never picks it up either way)."""
+    from fedfr_tpu.utils.checkpoint import RoundCheckpointer
+
+    class _Client:
+        def __init__(self, cid):
+            self.cid = cid
+            self.fc_local = np.full((2, 4), float(cid), np.float32)
+            self.bce_vars = None
+            self.last_backbone = None
+
+    class _Server:
+        def __init__(self):
+            self.federated_vars = {"w": np.zeros(3, np.float32)}
+            self.pretrained_fc = None
+            self.clients = [_Client(0)]
+            self.global_round = 1
+            self.global_epoch = 0
+            self.local_epoch = 10
+            self.train_decay = 0
+            self.rng = np.random.default_rng(100)
+
+    # simulate the truncated npz a SIGKILLed writer leaves behind
+    (tmp_path / "round_7.npz").write_bytes(b"PK\x03\x04 truncated")
+    srv = _Server()
+    ckpt = RoundCheckpointer(str(tmp_path), keep=2)
+    ckpt.save(srv)
+    assert sorted(os.listdir(str(tmp_path))) == ["round_1.meta.json",
+                                                 "round_1.npz"]
+    assert RoundCheckpointer(str(tmp_path)).restore(srv) == 1
+
+
+def test_phase_deltas_banner_keyed():
+    """Per-round phase deltas reset at each process banner, NOT on a value
+    comparison: a resumed process whose first cumulative total exceeds the
+    previous process's final total (fresh remote compiles) must still reset."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "logparse", os.path.join(repo, "experiments", "logparse.py"))
+    logparse = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(logparse)
+
+    log = (
+        "2026-08-17 01:00:00 === Start Federated learning ===\n"
+        "span phase/local_train  total  950.0s\n"
+        "2026-08-17 02:00:00 training done\n"
+        "2026-08-17 03:00:00 === Start Federated learning ===\n"
+        "span phase/local_train  total  990.0s\n"  # >= 950: still a reset
+        "span phase/local_train  total  1500.0s\n")
+    assert logparse.phase_deltas(log)["phase/local_train"] == \
+        [950.0, 990.0, 510.0]

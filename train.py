@@ -185,45 +185,50 @@ def main(args):
         logger.info("profiling first round to %s", trace_dir)
     timer = SpanTimer()
     logger.info("=== Start Federated learning ===")
-    while server.global_round < cfg.fed.total_rounds:
-        server.current_client_list = server.sample_clients()
-        logger.info("====== Round %d ======", server.global_round)
-        with xla_trace(trace_dir if server.global_round == 0 else None):
-            with timer.span("train_round"):
-                if mesh is not None:
-                    server.train_round_parallel(mesh)
-                else:
-                    server.train_round()
-        with timer.span("eval"):
-            server.test()
-        rce = cfg.runtime.round_ckpt_every
-        if rce and server.global_round % rce == 0:
-            try:
-                server.save_round_checkpoint(cfg.runtime.output_dir)
-            except NotImplementedError:
-                save_native(server.host_federated_vars(),
-                            os.path.join(cfg.runtime.output_dir,
-                                         f"backbone_{server.global_round}.npz"))
-        cce = cfg.runtime.client_ckpt_every
-        if cce and server.global_round % cce == 0:
-            server.save_client_checkpoints(cfg.runtime.output_dir)
-        server.advance_round()
-        if rce and (server.global_round - 1) % rce == 0:
-            ckpt.save(server, extra={
-                "best": [list(h) for h in bin_cb.highest] if bin_cb else []})
-        server.timer.report(logger)  # cumulative per-phase breakdown
-        try:  # device + host memory telemetry (backend-dependent)
-            ms = jax.local_devices()[0].memory_stats() or {}
-            import resource
+    try:
+        while server.global_round < cfg.fed.total_rounds:
+            server.current_client_list = server.sample_clients()
+            logger.info("====== Round %d ======", server.global_round)
+            with xla_trace(trace_dir if server.global_round == 0 else None):
+                with timer.span("train_round"):
+                    if mesh is not None:
+                        server.train_round_parallel(mesh)
+                    else:
+                        server.train_round()
+            with timer.span("eval"):
+                server.test()
+            rce = cfg.runtime.round_ckpt_every
+            if rce and server.global_round % rce == 0:
+                try:
+                    server.save_round_checkpoint(cfg.runtime.output_dir)
+                except NotImplementedError:
+                    save_native(server.host_federated_vars(),
+                                os.path.join(cfg.runtime.output_dir,
+                                             f"backbone_{server.global_round}.npz"))
+            cce = cfg.runtime.client_ckpt_every
+            if cce and server.global_round % cce == 0:
+                server.save_client_checkpoints(cfg.runtime.output_dir)
+            server.advance_round()
+            if rce and (server.global_round - 1) % rce == 0:
+                ckpt.save(server, extra={
+                    "best": [list(h) for h in bin_cb.highest] if bin_cb else []})
+            server.timer.report(logger)  # cumulative per-phase breakdown
+            try:  # device + host memory telemetry (backend-dependent)
+                ms = jax.local_devices()[0].memory_stats() or {}
+                import resource
 
-            logger.info(
-                "memory: device in_use %.0f MB peak %.0f MB | host maxrss %.0f MB",
-                ms.get("bytes_in_use", 0) / 1e6,
-                ms.get("peak_bytes_in_use", 0) / 1e6,
-                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3)
-        except Exception:
-            pass
-    ckpt.wait()  # join any outstanding async resume-state write
+                logger.info(
+                    "memory: device in_use %.0f MB peak %.0f MB | host maxrss %.0f MB",
+                    ms.get("bytes_in_use", 0) / 1e6,
+                    ms.get("peak_bytes_in_use", 0) / 1e6,
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3)
+            except Exception:
+                pass
+    finally:
+        # join any outstanding async resume-state write even when a round
+        # raises (tunnel errors, KeyboardInterrupt): the daemon writer would
+        # otherwise die mid-npz and silently drop the newest resume state
+        ckpt.wait()
     timer.report(logger)
     logger.info("training done")
 
