@@ -22,6 +22,7 @@ mean running at the hardware roofline.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -420,12 +421,13 @@ if __name__ == "__main__":
     # spacing that lets a short outage pass rather than immediately re-dying
     import traceback
 
-    for attempt in range(3):
+    attempts = int(os.environ.get("FEDFR_BENCH_RETRIES", "5"))
+    for attempt in range(attempts):
         try:
             main()
             break
         except Exception:
             traceback.print_exc()
-            if attempt == 2:
+            if attempt == attempts - 1:
                 raise
-            time.sleep(90 * (attempt + 1))
+            time.sleep(min(90 * (attempt + 1), 300))
