@@ -130,8 +130,14 @@ def cheap_init(jax, jnp, shapes_tree):
     return jax.tree_util.tree_unflatten(treedef, make())
 
 
-def bench_train_step(jax, jnp, iters: int = 4):
-    """Joint-objective step at production shape (client.py:355-404)."""
+def bench_train_step(jax, jnp, iters: int = 4, cached: bool = False):
+    """Joint-objective step at production shape (client.py:355-404).
+
+    ``cached`` benches the cached-contrastive variant (--cache_contrastive):
+    the two frozen MOON forwards replaced by gathers into per-round
+    (N, 2, E) feature caches at a realistic combined-dataset size.  The
+    once-per-(client, round) cache build runs at the embedding rate benched
+    above; its amortization is composed in DESIGN.md."""
     import functools
 
     from fedfr_tpu.federated.trainer import (
@@ -160,8 +166,8 @@ def bench_train_step(jax, jnp, iters: int = 4):
         jax.tree_util.tree_map(jnp.copy, bvars), fc, bce_vars)
 
     step = make_branch_train_step(backbone, bce, num_local=n_local,
-                                  num_clients=40, jit=False)
-    jit_step = jax.jit(step, donate_argnums=(0,))
+                                  num_clients=40, jit=False,
+                                  cached_contrastive=cached)
     shp = lambda a: jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), a)
     img_s = jax.ShapeDtypeStruct((B, 112, 112, 3), jnp.uint8)
@@ -170,17 +176,28 @@ def bench_train_step(jax, jnp, iters: int = 4):
     lr_s = jax.ShapeDtypeStruct((), jnp.float32)
     key_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
     step_s = jax.ShapeDtypeStruct((), jnp.int32)
+    if cached:
+        N_CACHE = 45_000  # a reference-scale combined dataset (local+mined)
+        g_cache = jnp.full((N_CACHE, 2, E), 1e-2, jnp.float32)
+        l_cache = jnp.full((N_CACHE, 2, E), 2e-2, jnp.float32)
+        idx_s = jax.ShapeDtypeStruct((B,), jnp.int32)
+        frozen_args_s = (shp(g_cache), shp(l_cache))
+        trailing_s = (idx_s, lr_s, key_s, step_s)
+    else:
+        frozen_args_s = (shp(bvars), shp(bvars))
+        trailing_s = (lr_s, key_s, step_s)
     compiled = jax.jit(step, donate_argnums=(0,)).lower(
-        shp(state), shp(bvars), shp(bvars), img_s, lbl_s, val_s, lr_s,
-        key_s, step_s).compile()
-    flops = _flops_per_call(step, shp(state), shp(bvars), shp(bvars), img_s,
-                            lbl_s, val_s, lr_s, key_s, step_s)
+        shp(state), *frozen_args_s, img_s, lbl_s, val_s,
+        *trailing_s).compile()
+    flops = _flops_per_call(step, shp(state), *frozen_args_s, img_s,
+                            lbl_s, val_s, *trailing_s)
 
     @jax.jit
     def make_inputs(key):
         imgs = jax.random.randint(key, (B, 112, 112, 3), 0, 255, jnp.uint8)
         labels = jax.random.randint(key, (B,), 0, n_local + n_global, jnp.int32)
-        return imgs, labels
+        idx = jax.random.randint(key, (B,), 0, 45_000, jnp.int32)
+        return imgs, labels, idx
 
     n_total = iters + 2
     inputs = [make_inputs(k)
@@ -188,21 +205,25 @@ def bench_train_step(jax, jnp, iters: int = 4):
     valid = jnp.ones((B,), bool)
     lr = jnp.float32(0.001)
     rng = jnp.asarray(jax.random.PRNGKey(2))
-    for i, l in inputs:
+    for i, l, _x in inputs:
         i.block_until_ready()
+
+    def dispatch(state, n):
+        imgs, labels, idx = inputs[n]
+        if cached:
+            return compiled(state, g_cache, l_cache, imgs, labels, valid,
+                            idx, lr, rng, jnp.int32(n))
+        return compiled(state, bvars, bvars, imgs, labels, valid,
+                        lr, rng, jnp.int32(n))
 
     metrics = None
     for w in range(2):  # warmup (donated state flows through)
-        imgs, labels = inputs[w]
-        state, metrics = compiled(state, bvars, bvars, imgs, labels, valid,
-                                  lr, rng, jnp.int32(w))
+        state, metrics = dispatch(state, w)
     np.asarray(metrics.loss)
 
     t0 = time.perf_counter()
     for s in range(iters):
-        imgs, labels = inputs[2 + s]
-        state, metrics = compiled(state, bvars, bvars, imgs, labels, valid,
-                                  lr, rng, jnp.int32(2 + s))
+        state, metrics = dispatch(state, 2 + s)
     loss = np.asarray(metrics.loss)  # completion barrier (chained states)
     dt = time.perf_counter() - t0
     assert np.isfinite(loss).all()
@@ -364,6 +385,9 @@ def main():
     train_ips, train_fpi, ms_per_step = bench_train_step(jax, jnp)
     train_mfu = train_ips * train_fpi / peak
 
+    ctrain_ips, ctrain_fpi, ctrain_ms = bench_train_step(jax, jnp, cached=True)
+    ctrain_mfu = ctrain_ips * ctrain_fpi / peak
+
     pre_ips, pre_fpi, pre_ms = bench_pretrain_step(jax, jnp, 1.0)
     pre_mfu = pre_ips * pre_fpi / peak
     spre_ips, spre_fpi, spre_ms = bench_pretrain_step(jax, jnp, 0.1)
@@ -392,6 +416,15 @@ def main():
             "ms_per_step_batch256": round(ms_per_step, 1),
             "gflop_per_img": round(train_fpi / 1e9, 2),
             "mfu": round(train_mfu, 3),
+            # --cache_contrastive: frozen MOON forwards -> per-round cache
+            # gathers (same math; cache built once per client run at the
+            # embed rate above)
+            "cached_contrastive": {
+                "images_per_sec": round(ctrain_ips, 1),
+                "ms_per_step_batch256": round(ctrain_ms, 1),
+                "gflop_per_img": round(ctrain_fpi / 1e9, 2),
+                "mfu": round(ctrain_mfu, 3),
+            },
         },
         "pretrain_step": {
             "images_per_sec": round(pre_ips, 1),

@@ -141,6 +141,9 @@ def main():
                     help="run the CLI subprocesses on the CPU backend")
     ap.add_argument("--skip_pretrain", action="store_true",
                     help="reuse work_dir/pre from an earlier run")
+    ap.add_argument("--cache_contrastive", action="store_true",
+                    help="enable the per-round frozen-MOON feature cache "
+                    "(train.py --cache_contrastive)")
     ap.add_argument("--resume", action="store_true",
                     help="resume train.py from its round checkpoints")
     args = ap.parse_args()
@@ -202,6 +205,8 @@ def main():
            "--scan_blocks"]
     if args.resume:
         cmd.append("--resume")
+    if args.cache_contrastive:
+        cmd.append("--cache_contrastive")
     dt = run(cmd)
     summary["train_total_s"] = round(dt, 1)
 

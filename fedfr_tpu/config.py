@@ -101,6 +101,11 @@ class FederatedConfig:
     bce_local: bool = True              # personalized transformation-layer branch
     bce_detach: bool = False
     contrastive: bool = True            # MOON-style regularizer
+    # precompute the frozen MOON features once per (client, round) at full
+    # embedding MFU and gather per step instead of re-running the two frozen
+    # forwards every step (exact same math — both frozen models are fixed
+    # for the run and in eval mode; ~38% of step time, DESIGN.md)
+    cache_contrastive: bool = False
     return_all: bool = True             # clients return global-FC shard for FC FedAvg
     reweight_cosface: bool = False
     hn_threshold: float = 0.4           # hard-negative cosine threshold (config.py:28)

@@ -267,12 +267,16 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self):
+    def epoch(self, with_positions: bool = False):
         """Yield (images u8 NHWC, labels i32, valid bool) for one epoch.
 
         Device-synthetic datasets yield device-resident image arrays (the
         host never touches pixels); record-backed datasets yield host numpy
         via the native batch decoder or the thread pool.
+
+        ``with_positions`` appends the batch's dataset positions (int32,
+        pad slots repeat the first position like the images do) — consumed
+        by the cached-contrastive step's feature gathers.
         """
         n = len(self.dataset)
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
@@ -287,19 +291,20 @@ class BatchLoader:
             if len(idx) < bs:
                 valid[len(idx):] = False
                 idx = np.concatenate([idx, np.full(bs - len(idx), idx[0])])
+            pos = (idx.astype(np.int32),) if with_positions else ()
             if synthetic:
                 imgs, labels = self.dataset.device_batch(idx)
-                yield imgs, labels, valid
+                yield (imgs, labels, valid) + pos
                 continue
             batch = read_batch(idx) if read_batch is not None else None
             if batch is not None:
                 imgs, labels = batch
-                yield imgs, labels.astype(np.int32), valid
+                yield (imgs, labels.astype(np.int32), valid) + pos
                 continue
             items = list(self.pool.map(read, idx))
             imgs = np.stack([it[0] for it in items])
             labels = np.array([it[1] for it in items], dtype=np.int32)
-            yield imgs, labels, valid
+            yield (imgs, labels, valid) + pos
 
 
 class AllClientData:

@@ -88,11 +88,11 @@ class DevicePrefetcher:
     def __len__(self) -> int:
         return len(self.loader)
 
-    def epoch(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    def epoch(self, **epoch_kwargs
+              ) -> Iterator[Tuple[jnp.ndarray, ...]]:
         def to_device():
-            for imgs, labels, valid in self.loader.epoch():
-                batch = (jnp.asarray(imgs), jnp.asarray(labels),
-                         jnp.asarray(valid))
+            for parts in self.loader.epoch(**epoch_kwargs):
+                batch = tuple(jnp.asarray(p) for p in parts)
                 if self.device is not None:
                     batch = jax.device_put(batch, self.device)
                 yield batch

@@ -21,7 +21,8 @@ from ..data.datasets import BatchLoader, CombinedDataset, FaceRecordDataset
 from ..data.pipeline import DevicePrefetcher
 from ..utils.optim import step_lr
 from .embed import auto_embed_fn, class_mean_features, embed_dataset, hard_negative_mask
-from .trainer import init_client_state, make_branch_train_step, make_plain_train_step
+from .trainer import (init_client_state, make_branch_train_step,
+                      make_plain_train_step, use_cached_contrastive)
 
 logger = logging.getLogger("fedfr_tpu.client")
 
@@ -266,6 +267,19 @@ class Client:
         loader = DevicePrefetcher(base_loader, depth=cfg.data.prefetch)
         global_vars = jax.tree_util.tree_map(jnp.asarray, backbone_vars)
 
+        use_cache = use_cached_contrastive(cfg)
+        if use_cache:
+            # both frozen MOON models are fixed for this whole local run (and
+            # eval-mode), so embed the combined dataset once per model at
+            # full embedding batch size; the step gathers by (position, flip)
+            from .embed import embed_flip_cache
+
+            with self._span("phase/contrastive_cache"):
+                g_cache = embed_flip_cache(self._embed_fn, global_vars,
+                                           combined, cfg.data.eval_batch_size)
+                l_cache = embed_flip_cache(self._embed_fn, last_vars,
+                                           combined, cfg.data.eval_batch_size)
+
         if step_fn is None:
             step_fn = make_branch_train_step(
                 self.backbone, self.bce_module, margin=cfg.loss.loss,
@@ -276,7 +290,7 @@ class Client:
                 weight_decay=cfg.optim.weight_decay, bce_detach=cfg.fed.bce_detach,
                 contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
                 num_local=self.num_classes, num_clients=cfg.data.num_clients,
-                fedprox_mu=cfg.fed.fedprox_mu)
+                fedprox_mu=cfg.fed.fedprox_mu, cached_contrastive=use_cache)
 
         if len(loader) == 0:
             raise ValueError(
@@ -300,10 +314,17 @@ class Client:
                 tic = time.time()
                 epoch_steps = 0
                 with self._span("phase/local_train"):
-                    for imgs, labels, valid in loader.epoch():
-                        state, metrics = step_fn(state, global_vars, last_vars,
-                                                 imgs, labels, valid, lr, key,
-                                                 n_steps)
+                    for batch in loader.epoch(with_positions=use_cache):
+                        if use_cache:
+                            imgs, labels, valid, idx = batch
+                            state, metrics = step_fn(state, g_cache, l_cache,
+                                                     imgs, labels, valid, idx,
+                                                     lr, key, n_steps)
+                        else:
+                            imgs, labels, valid = batch
+                            state, metrics = step_fn(state, global_vars,
+                                                     last_vars, imgs, labels,
+                                                     valid, lr, key, n_steps)
                         acc = _metrics_sum(acc, metrics)
                         n_steps += 1
                         epoch_steps += 1

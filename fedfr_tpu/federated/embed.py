@@ -146,6 +146,32 @@ def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
     return chunked_device_get(feats), labels_out
 
 
+def embed_flip_cache(embed_fn: Callable, variables, dataset,
+                     batch_size: int = 512) -> jnp.ndarray:
+    """Per-(image, orientation) feature cache for a FROZEN model: (N, 2, E)
+    device array with axis 1 = [original, h-flipped], in dataset order.
+
+    Backs the cached-contrastive train step (trainer.py): the MOON global and
+    last-round models are fixed for a whole local run and run in eval mode,
+    so instead of two frozen batch-256 forwards per step the client embeds
+    its combined dataset ONCE per (model, run) at full embedding batch size
+    and the step gathers rows by (position, flip).
+    """
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    from ..data.datasets import BatchLoader
+
+    chunks = []
+    with BatchLoader(dataset, batch_size, shuffle=False,
+                     drop_last=False) as loader:
+        for imgs, _labels, valid in loader.epoch():
+            nvalid = int(valid.sum())
+            u8 = jnp.asarray(imgs)
+            f0 = embed_fn(variables, u8)
+            f1 = embed_fn(variables, u8[:, :, ::-1, :])
+            chunks.append(jnp.stack([f0, f1], axis=1)[:nvalid])
+    return jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+
+
 def class_mean_features(feats: np.ndarray, labels: np.ndarray,
                         num_classes: int, normalize_before: bool = False
                         ) -> np.ndarray:

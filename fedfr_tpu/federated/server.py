@@ -29,7 +29,8 @@ from ..parallel.fedavg import (
 from ..utils import torch_interop
 from .client import Client, _run_key
 from .embed import auto_embed_fn, class_mean_features, embed_dataset
-from .trainer import make_branch_train_step, make_plain_train_step
+from .trainer import (make_branch_train_step, make_plain_train_step,
+                      use_cached_contrastive)
 
 logger = logging.getLogger("fedfr_tpu.server")
 
@@ -313,7 +314,8 @@ class Server:
                 contrastive=cfg.fed.contrastive, reweight=cfg.fed.reweight_cosface,
                 num_local=self.clients[0].num_classes,
                 num_clients=cfg.data.num_clients,
-                fedprox_mu=cfg.fed.fedprox_mu)
+                fedprox_mu=cfg.fed.fedprox_mu,
+                cached_contrastive=use_cached_contrastive(cfg))
 
         models, fcs, sizes, losses = [], [], [], []
         for pos, cid in enumerate(self.current_client_list):
@@ -420,6 +422,13 @@ class Server:
 
         K = mesh.shape["client"]
         self._check_uniform_classes()
+        if use_cached_contrastive(cfg) and not getattr(
+                self, "_warned_parallel_cache", False):
+            self._warned_parallel_cache = True
+            logger.warning(
+                "cache_contrastive is not applied on the client-parallel "
+                "round (per-client cache sizes are ragged across a group); "
+                "frozen MOON forwards recompute per step here")
         if self._parallel_step is None:  # one executable for all rounds
             self._parallel_step = make_parallel_branch_step(
                 self.backbone, self.bce_module, margin=cfg.loss.loss,

@@ -46,10 +46,22 @@ def normalize_images(u8: jnp.ndarray) -> jnp.ndarray:
     return u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
 
 
+def flip_mask(rng: jax.Array, n: int) -> jnp.ndarray:
+    """The per-sample coin of the random horizontal flip.
+
+    Split out of ``random_hflip`` so a step that needs the SAME flip
+    decisions for a side lookup (the cached-contrastive gather,
+    trainer.py) can recompute the identical mask from the identical key."""
+    return jax.random.bernoulli(rng, 0.5, (n,))
+
+
+def apply_hflip(flip: jnp.ndarray, imgs: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+
+
 def random_hflip(rng: jax.Array, imgs: jnp.ndarray) -> jnp.ndarray:
     """Per-sample random horizontal flip (RandomHorizontalFlip, dataset.py:84)."""
-    flip = jax.random.bernoulli(rng, 0.5, (imgs.shape[0],))
-    return jnp.where(flip[:, None, None, None], imgs[:, :, ::-1, :], imgs)
+    return apply_hflip(flip_mask(rng, imgs.shape[0]), imgs)
 
 
 def train_preprocess(rng: jax.Array, u8: jnp.ndarray) -> jnp.ndarray:

@@ -25,7 +25,8 @@ from ..models.heads import cosine_logits
 from ..ops.losses import bce_loss, moon_contrastive, softmax_cross_entropy
 from ..ops.margins import MARGINS, reweight_negatives
 from ..utils.optim import sgd_init, sgd_update
-from .state import ClientTrainState, train_preprocess
+from .state import (ClientTrainState, apply_hflip, flip_mask,
+                    normalize_images, train_preprocess)
 
 
 class StepMetrics(NamedTuple):
@@ -33,6 +34,14 @@ class StepMetrics(NamedTuple):
     cos_loss: jnp.ndarray
     bce_loss: jnp.ndarray
     con_loss: jnp.ndarray
+
+
+def use_cached_contrastive(cfg) -> bool:
+    """One predicate for every build/call site of the cached-contrastive
+    step (client, server sequential round), so they can never disagree on
+    the step signature."""
+    return bool(cfg.fed.cache_contrastive and cfg.fed.contrastive
+                and cfg.fed.fedprox_mu == 0.0)
 
 
 def _apply_backbone(backbone, variables, x, train: bool):
@@ -54,6 +63,7 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
                            contrastive: bool = True, reweight: bool = False,
                            num_local: int = 100, num_clients: int = 40,
                            fedprox_mu: float = 0.0,
+                           cached_contrastive: bool = False,
                            donate: bool = True, jit: bool = True) -> Callable:
     """Train step for the joint local+public objective with the BCE branch.
 
@@ -64,17 +74,29 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
     mu/2 * ||w - w_global||^2 over the backbone parameters.  The reference
     accepts --aggr_alg FedProx but never applies the proximal penalty
     (server.py:327 treats it as FedAvg); here it is implemented.
+
+    ``cached_contrastive`` swaps the two frozen MOON forwards (~38% of the
+    step's time, DESIGN.md "Performance notes") for gathers into per-round
+    feature caches: both frozen models are fixed for the whole local run and
+    run in eval mode (reference client.py:327-329 ``.eval()`` under
+    ``no_grad``), so their per-(image, flip) features are precomputable at
+    full embedding MFU.  The step then takes ``(state, g_cache, l_cache,
+    images_u8, labels, valid, idx, lr, rng, step_no)`` with caches of shape
+    (N, 2, E) — axis 1 is [original, h-flipped] — and ``idx`` the batch's
+    dataset positions; it recomputes the augmentation flip mask from the
+    same fold_in(rng, step_no) key, so the gathered features correspond to
+    the EXACT augmented images the trainable forward sees.
     """
     margin_fn = MARGINS[margin]
+    if cached_contrastive and not contrastive:
+        raise ValueError("cached_contrastive requires contrastive=True")
+    if cached_contrastive and fedprox_mu > 0.0:
+        raise ValueError(
+            "cached_contrastive drops the global variable tree from the "
+            "step; the FedProx proximal term needs it — disable one")
 
-    def step(state: ClientTrainState, global_vars, last_vars,
-             images_u8, labels, valid, lr, rng, step_no):
-        # per-step key derived INSIDE jit from (client base key, step counter)
-        # so the sequential loop and the client-parallel vmapped loop consume
-        # identical randomness (parallel == sequential parity) and no host
-        # key-split dispatch happens per step
-        x = train_preprocess(jax.random.fold_in(rng, step_no), images_u8)
-
+    def _run(state: ClientTrainState, x, con_feats, prox_vars, labels,
+             valid, lr):
         def loss_fn(train_params, batch_stats):
             variables = {"params": train_params["backbone"]}
             if batch_stats is not None:
@@ -97,8 +119,7 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
                 bce_l = jnp.zeros(())
 
             if contrastive:
-                gfeats, _ = _apply_backbone(backbone, global_vars, x, train=False)
-                lfeats, _ = _apply_backbone(backbone, last_vars, x, train=False)
+                gfeats, lfeats = con_feats()
                 con_l = moon_contrastive(feats, gfeats, lfeats, temperature, valid)
             else:
                 con_l = jnp.zeros(())
@@ -107,7 +128,7 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
             if fedprox_mu > 0.0:
                 sq = jax.tree_util.tree_map(
                     lambda p, g: jnp.sum((p - jax.lax.stop_gradient(g)) ** 2),
-                    train_params["backbone"], global_vars["params"])
+                    train_params["backbone"], prox_vars["params"])
                 total = total + 0.5 * fedprox_mu * sum(
                     jax.tree_util.tree_leaves(sq))
             aux = (new_vars.get("batch_stats"), StepMetrics(total, cos_l, bce_l, con_l))
@@ -129,9 +150,36 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
             opt=new_opt)
         return new_state, metrics
 
+    def step(state: ClientTrainState, global_vars, last_vars,
+             images_u8, labels, valid, lr, rng, step_no):
+        # per-step key derived INSIDE jit from (client base key, step counter)
+        # so the sequential loop and the client-parallel vmapped loop consume
+        # identical randomness (parallel == sequential parity) and no host
+        # key-split dispatch happens per step
+        x = train_preprocess(jax.random.fold_in(rng, step_no), images_u8)
+
+        def con_feats():
+            gfeats, _ = _apply_backbone(backbone, global_vars, x, train=False)
+            lfeats, _ = _apply_backbone(backbone, last_vars, x, train=False)
+            return gfeats, lfeats
+
+        return _run(state, x, con_feats, global_vars, labels, valid, lr)
+
+    def cached_step(state: ClientTrainState, g_cache, l_cache,
+                    images_u8, labels, valid, idx, lr, rng, step_no):
+        flip = flip_mask(jax.random.fold_in(rng, step_no), images_u8.shape[0])
+        x = normalize_images(apply_hflip(flip, images_u8))
+        fi = flip.astype(jnp.int32)
+
+        def con_feats():
+            return g_cache[idx, fi], l_cache[idx, fi]
+
+        return _run(state, x, con_feats, None, labels, valid, lr)
+
+    chosen = cached_step if cached_contrastive else step
     if not jit:
-        return step
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+        return chosen
+    return jax.jit(chosen, donate_argnums=(0,) if donate else ())
 
 
 def make_plain_train_step(backbone, *, margin: str = "CosFace", s: float = 30.0,

@@ -423,3 +423,71 @@ def test_public_data_without_bce_branch(fl_root):
     stats = server.train_round()
     assert np.isfinite(stats["avg_loss"])
     assert server.clients[0].bce_vars is None
+
+
+def test_cached_contrastive_step_matches_recompute():
+    """The cached-contrastive step (per-round frozen-feature cache + gather)
+    must produce the same update as recomputing the two frozen forwards in
+    the step: same flip mask from the same key, eval-mode frozen models."""
+    from fedfr_tpu.federated.embed import make_embed_fn
+    from fedfr_tpu.federated.trainer import (init_client_state,
+                                             make_branch_train_step)
+
+    backbone = build_backbone("toy", embedding_size=16, bf16=False)
+    N, B, H, C = 12, 4, IMG, 3
+    rng0 = np.random.default_rng(0)
+    images = rng0.integers(0, 255, (N, H, H, 3), np.uint8)
+    zeros = jnp.zeros((1, H, H, 3))
+    v_cur = jax.device_get(backbone.init(jax.random.PRNGKey(0), zeros, train=False))
+    v_glob = backbone.init(jax.random.PRNGKey(1), zeros, train=False)
+    v_last = backbone.init(jax.random.PRNGKey(2), zeros, train=False)
+    fc = np.asarray(0.01 * np.random.default_rng(3).normal(size=(C, 16)),
+                    np.float32)
+
+    step = make_branch_train_step(backbone, None, contrastive=True)
+    cstep = make_branch_train_step(backbone, None, contrastive=True,
+                                   cached_contrastive=True)
+    embed = make_embed_fn(backbone)
+    u8 = jnp.asarray(images)
+    caches = []
+    for v in (v_glob, v_last):
+        caches.append(jnp.stack([embed(v, u8), embed(v, u8[:, :, ::-1, :])],
+                                axis=1))
+    idx = np.array([3, 7, 1, 9], np.int32)
+    batch, labels = images[idx], np.array([0, 1, 2, 0], np.int32)
+    valid = np.ones(B, bool)
+    key = jax.random.PRNGKey(42)
+
+    s1, m1 = step(init_client_state(jax.tree_util.tree_map(jnp.asarray, v_cur),
+                                    jnp.asarray(fc), None),
+                  v_glob, v_last, batch, labels, valid,
+                  jnp.float32(0.1), key, 0)
+    s2, m2 = cstep(init_client_state(jax.tree_util.tree_map(jnp.asarray, v_cur),
+                                     jnp.asarray(fc), None),
+                   caches[0], caches[1], batch, labels, valid, idx,
+                   jnp.float32(0.1), key, 0)
+    np.testing.assert_allclose(float(m1.con_loss), float(m2.con_loss),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m1.loss), float(m2.loss), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-7),
+        jax.device_get(s1.backbone), jax.device_get(s2.backbone))
+
+
+def test_cached_contrastive_round_matches_recompute(fl_root):
+    """A full sequential round with fed.cache_contrastive tracks the
+    recompute round: same loaders, same augmentation stream, same losses and
+    aggregated model within fp32 tolerance."""
+    out = {}
+    for cached in (False, True):
+        cfg = _tiny_cfg(fl_root, cache_contrastive=cached)
+        data = AllClientData(cfg)
+        server = Server(cfg, data)
+        stats = server.train_round()
+        out[cached] = (stats["avg_loss"],
+                       jax.tree_util.tree_map(np.asarray, server.federated_vars))
+    np.testing.assert_allclose(out[False][0], out[True][0], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        out[False][1], out[True][1])

@@ -63,6 +63,7 @@ def build_config(args) -> "FedFRConfig":
     cfg.runtime.round_ckpt_every = getattr(args, "round_ckpt_every", 1)
     cfg.runtime.round_ckpt_keep = getattr(args, "round_ckpt_keep", 0)
     cfg.runtime.round_ckpt_async = getattr(args, "round_ckpt_async", False)
+    cfg.fed.cache_contrastive = getattr(args, "cache_contrastive", False)
     if args.val_targets:
         cfg.runtime.val_targets = args.val_targets.split(",")
     return cfg
@@ -254,6 +255,11 @@ if __name__ == "__main__":
     parser.add_argument("--init_fc", action="store_true")
     parser.add_argument("--add_pretrained_data", action="store_true")
     parser.add_argument("--contrastive_bb", action="store_true")
+    parser.add_argument("--cache_contrastive", action="store_true",
+                        help="precompute the frozen MOON features once per "
+                        "(client, round) and gather per step instead of "
+                        "re-running the two frozen forwards every step "
+                        "(same math; ~1.3x faster local training)")
     parser.add_argument("--return_all", action="store_true")
     parser.add_argument("--combine_dataset", action="store_true")
     parser.add_argument("--BCE_local", action="store_true")
