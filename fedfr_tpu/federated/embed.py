@@ -147,8 +147,9 @@ def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
 
 
 def embed_flip_cache(embed_fn: Callable, variables, dataset,
-                     batch_size: int = 512) -> jnp.ndarray:
-    """Per-(image, orientation) feature cache for a FROZEN model: (N, 2, E)
+                     batch_size: int = 512,
+                     pad_to_multiple: int = 8192) -> jnp.ndarray:
+    """Per-(image, orientation) feature cache for a FROZEN model: (N', 2, E)
     device array with axis 1 = [original, h-flipped], in dataset order.
 
     Backs the cached-contrastive train step (trainer.py): the MOON global and
@@ -156,6 +157,13 @@ def embed_flip_cache(embed_fn: Callable, variables, dataset,
     so instead of two frozen batch-256 forwards per step the client embeds
     its combined dataset ONCE per (model, run) at full embedding batch size
     and the step gathers rows by (position, flip).
+
+    The row count is padded up to a multiple of ``pad_to_multiple`` (zeros;
+    gathers never touch pad rows — loader positions are < N): the cache
+    shape is baked into the jitted step's program, and the mined combined
+    dataset has a different N for every (client, round) — unbucketed, every
+    local run would recompile the step (minutes on remote-compile rigs).
+    Bucketing bounds the distinct shapes to a handful per workload.
     """
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
     from ..data.datasets import BatchLoader
@@ -169,7 +177,13 @@ def embed_flip_cache(embed_fn: Callable, variables, dataset,
             f0 = embed_fn(variables, u8)
             f1 = embed_fn(variables, u8[:, :, ::-1, :])
             chunks.append(jnp.stack([f0, f1], axis=1)[:nvalid])
-    return jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    cache = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    if pad_to_multiple > 1:
+        n = cache.shape[0]
+        target = -(-n // pad_to_multiple) * pad_to_multiple
+        if target > n:
+            cache = jnp.pad(cache, ((0, target - n), (0, 0), (0, 0)))
+    return cache
 
 
 def class_mean_features(feats: np.ndarray, labels: np.ndarray,

@@ -228,14 +228,17 @@ class Server:
                                       stacked)
 
     @contextlib.contextmanager
-    def _group_feed(self, group, loaders, pad, batch_shard, batch_size):
+    def _group_feed(self, group, loaders, pad, batch_shard, batch_size,
+                    with_positions: bool = False):
         """Background-producer batch feed for one client-parallel group.
 
         Shared plumbing of both parallel rounds: wrap-around per-client
         iterators in lockstep, pad-slot batches (discarded later), an
         empty-loader guard (one empty loader would make its cycling
         generator never yield and hang the whole group's producer), and
-        guaranteed feed+loader shutdown on any exit path."""
+        guaranteed feed+loader shutdown on any exit path.
+        ``with_positions`` appends stacked (K, B) dataset positions to each
+        batch (the cached-contrastive step's gather indices)."""
         if min(len(l) for l in loaders) == 0:
             empty = [cid for cid, l in zip(group, loaders) if len(l) == 0]
             raise ValueError(f"clients {empty}: dataset smaller than the "
@@ -244,7 +247,7 @@ class Server:
 
         def cycling(loader):
             while True:
-                yield from loader.epoch()
+                yield from loader.epoch(with_positions=with_positions)
 
         iters = [cycling(l) for l in loaders]
         n_dispatches = self.local_epoch * steps_per_epoch
@@ -255,10 +258,8 @@ class Server:
             for _ in range(n_dispatches):
                 batches = [next(it) for it in iters]
                 batches += [batches[0]] * pad
-                imgs, labels, valid = stack_client_batches(batches)
-                yield (jax.device_put(imgs, batch_shard),
-                       jax.device_put(labels, batch_shard),
-                       jax.device_put(valid, batch_shard))
+                yield tuple(jax.device_put(comp, batch_shard)
+                            for comp in stack_client_batches(batches))
 
         from ..data.pipeline import prefetched
 
@@ -422,13 +423,7 @@ class Server:
 
         K = mesh.shape["client"]
         self._check_uniform_classes()
-        if use_cached_contrastive(cfg) and not getattr(
-                self, "_warned_parallel_cache", False):
-            self._warned_parallel_cache = True
-            logger.warning(
-                "cache_contrastive is not applied on the client-parallel "
-                "round (per-client cache sizes are ragged across a group); "
-                "frozen MOON forwards recompute per step here")
+        use_cache = use_cached_contrastive(cfg)
         if self._parallel_step is None:  # one executable for all rounds
             self._parallel_step = make_parallel_branch_step(
                 self.backbone, self.bce_module, margin=cfg.loss.loss,
@@ -442,7 +437,8 @@ class Server:
                 reweight=cfg.fed.reweight_cosface,
                 num_local=self.clients[0].num_classes,
                 num_clients=cfg.data.num_clients,
-                fedprox_mu=cfg.fed.fedprox_mu)
+                fedprox_mu=cfg.fed.fedprox_mu,
+                cached_contrastive=use_cache)
         step_fn = self._parallel_step
 
         from ..utils.optim import step_lr
@@ -475,11 +471,40 @@ class Server:
             loaders = [p[1] for p in preps]
             stacked = self._stack_for_group([p[2] for p in preps], pad,
                                             client_shard)
-            last_stacked = self._stack_for_group([p[3] for p in preps], pad,
-                                                 client_shard)
-            global_repl = jax.tree_util.tree_map(
-                lambda x: jax.device_put(jnp.asarray(x), repl),
-                self.federated_vars)
+            last_stacked = global_repl = None
+            if use_cache:
+                # frozen MOON features precomputed per (client, model) and
+                # stacked over the group (bucket-padded by embed_flip_cache,
+                # further zero-padded to the group max — gathers never reach
+                # pad rows); replaces the per-step frozen forwards
+                from .embed import embed_flip_cache
+
+                with self.timer.span("phase/contrastive_cache"):
+                    g_list = [embed_flip_cache(
+                        self._embed_fn, self.federated_vars, p[0],
+                        cfg.data.eval_batch_size) for p in preps]
+                    l_list = [embed_flip_cache(
+                        self._embed_fn, p[3], p[0],
+                        cfg.data.eval_batch_size) for p in preps]
+                    nmax = max(c.shape[0] for c in g_list + l_list)
+
+                    def _stackpad(caches):
+                        padded = [
+                            jnp.pad(c, ((0, nmax - c.shape[0]), (0, 0), (0, 0)))
+                            if c.shape[0] < nmax else c for c in caches]
+                        return jax.device_put(
+                            jnp.stack(padded + [padded[0]] * pad),
+                            client_shard)
+
+                    g_stacked = _stackpad(g_list)
+                    l_stacked = _stackpad(l_list)
+                    del g_list, l_list
+            else:
+                last_stacked = self._stack_for_group([p[3] for p in preps],
+                                                     pad, client_shard)
+                global_repl = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(jnp.asarray(x), repl),
+                    self.federated_vars)
             keys = self._group_keys(members, client_shard)
 
             from ..federated.client import _metrics_sum
@@ -487,18 +512,26 @@ class Server:
             acc = jnp.zeros((4, K))
             step_no = 0
             with self._group_feed(group, loaders, pad, batch_shard,
-                                  cfg.data.combined_batch_size) as (
+                                  cfg.data.combined_batch_size,
+                                  with_positions=use_cache) as (
                     feed, steps_per_epoch):
                 with self.timer.span("phase/local_train"):
                     for epoch in range(self.local_epoch):
                         lr = step_lr(cfg.optim.lr, epoch, self.train_decay,
                                      cfg.optim.lr_gamma)
                         for s in range(steps_per_epoch):
-                            imgs_d, labels_d, valid_d = next(feed)
-                            stacked, metrics = step_fn(
-                                stacked, global_repl, last_stacked,
-                                imgs_d, labels_d, valid_d,
-                                jnp.float32(lr), keys, step_no)
+                            if use_cache:
+                                imgs_d, labels_d, valid_d, idx_d = next(feed)
+                                stacked, metrics = step_fn(
+                                    stacked, g_stacked, l_stacked,
+                                    imgs_d, labels_d, valid_d, idx_d,
+                                    jnp.float32(lr), keys, step_no)
+                            else:
+                                imgs_d, labels_d, valid_d = next(feed)
+                                stacked, metrics = step_fn(
+                                    stacked, global_repl, last_stacked,
+                                    imgs_d, labels_d, valid_d,
+                                    jnp.float32(lr), keys, step_no)
                             # on-device running sum -> the reported loss is
                             # the all-step mean (reference AverageMeter
                             # semantics), identical on the sequential path

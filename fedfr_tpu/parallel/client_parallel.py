@@ -45,13 +45,22 @@ def make_parallel_branch_step(backbone, bce_module, donate: bool = True,
     images (K,B,H,W,C) u8, labels (K,B), valid (K,B), lr, rngs (K,...))``.
     The global model is replicated (in_axes=None); everything per-client is
     stacked on axis 0.  jit + input shardings partition it over the mesh.
+
+    With ``cached_contrastive=True`` the signature becomes
+    ``(stacked_state, g_caches (K,N,2,E), l_caches (K,N,2,E),
+    images, labels, valid, idx (K,B), lr, rngs, step)`` — the per-client
+    frozen-feature caches are stacked (bucket-padded to one N by
+    embed_flip_cache) and gathered per client.
     """
     base = make_branch_train_step(backbone, bce_module, jit=False, donate=False,
                                   **kwargs)
     # per-client base rng is stacked; the step counter is shared (in_axes
     # None) — each client folds (its key, step) exactly as the sequential
     # loop does, so both paths consume identical randomness
-    v = jax.vmap(base, in_axes=(0, None, 0, 0, 0, 0, None, 0, None))
+    if kwargs.get("cached_contrastive"):
+        v = jax.vmap(base, in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0, None))
+    else:
+        v = jax.vmap(base, in_axes=(0, None, 0, 0, 0, 0, None, 0, None))
     return jax.jit(v, donate_argnums=(0,) if donate else ())
 
 
@@ -80,16 +89,13 @@ def parallel_fedavg(stacked_backbones: Any, weights: jnp.ndarray) -> Any:
 
 
 def stack_client_batches(batches) -> tuple:
-    """List of per-client (imgs, labels, valid) -> stacked arrays.
+    """List of per-client (imgs, labels, valid[, idx]) -> stacked arrays.
 
-    Device-resident image batches (the synthetic data plane) stack on
-    device; a host np.stack would silently device_get each one through the
-    host link first.
+    Device-resident components (the synthetic data plane's image batches)
+    stack on device; a host np.stack would silently device_get each one
+    through the host link first.
     """
-    if isinstance(batches[0][0], jax.Array):
-        imgs = jnp.stack([b[0] for b in batches])
-    else:
-        imgs = np.stack([b[0] for b in batches])
-    labels = np.stack([b[1] for b in batches])
-    valid = np.stack([b[2] for b in batches])
-    return imgs, labels, valid
+    return tuple(
+        (jnp.stack(comps) if isinstance(comps[0], jax.Array)
+         else np.stack(comps))
+        for comps in zip(*batches))

@@ -491,3 +491,29 @@ def test_cached_contrastive_round_matches_recompute(fl_root):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
         out[False][1], out[True][1])
+
+
+def test_parallel_cached_contrastive_matches_sequential(fl_root):
+    """The client-parallel round with fed.cache_contrastive (stacked
+    bucket-padded frozen-feature caches, per-client gathers) matches the
+    sequential cached round the same way the recompute paths match."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg_s = _tiny_cfg(fl_root, cache_contrastive=True)
+    cfg_p = _tiny_cfg(fl_root, cache_contrastive=True)
+    server_s = Server(cfg_s, AllClientData(cfg_s))
+    server_p = Server(cfg_p, AllClientData(cfg_p))
+
+    server_s.train_round()
+    mesh = make_mesh((NUM_CLIENTS, 1, 1), devices=jax.devices()[:NUM_CLIENTS])
+    server_p.train_round_parallel(mesh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(server_s.federated_vars),
+                    jax.tree_util.tree_leaves(server_p.federated_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(server_s.pretrained_fc, server_p.pretrained_fc,
+                               rtol=1e-6, atol=1e-6)
+    for cs, cp in zip(server_s.clients, server_p.clients):
+        np.testing.assert_allclose(cs.fc_local, cp.fc_local,
+                                   rtol=1e-6, atol=1e-6)
