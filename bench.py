@@ -177,7 +177,7 @@ def bench_train_step(jax, jnp, iters: int = 4, cached: bool = False):
     key_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
     step_s = jax.ShapeDtypeStruct((), jnp.int32)
     if cached:
-        N_CACHE = 45_000  # a reference-scale combined dataset (local+mined)
+        N_CACHE = 49_152  # reference-scale combined dataset, bucket-padded (8192s)
         g_cache = jnp.full((N_CACHE, 2, E), 1e-2, jnp.float32)
         l_cache = jnp.full((N_CACHE, 2, E), 2e-2, jnp.float32)
         idx_s = jax.ShapeDtypeStruct((B,), jnp.int32)
@@ -196,7 +196,7 @@ def bench_train_step(jax, jnp, iters: int = 4, cached: bool = False):
     def make_inputs(key):
         imgs = jax.random.randint(key, (B, 112, 112, 3), 0, 255, jnp.uint8)
         labels = jax.random.randint(key, (B,), 0, n_local + n_global, jnp.int32)
-        idx = jax.random.randint(key, (B,), 0, 45_000, jnp.int32)
+        idx = jax.random.randint(key, (B,), 0, 49_152, jnp.int32)
         return imgs, labels, idx
 
     n_total = iters + 2

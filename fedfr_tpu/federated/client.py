@@ -267,18 +267,23 @@ class Client:
         loader = DevicePrefetcher(base_loader, depth=cfg.data.prefetch)
         global_vars = jax.tree_util.tree_map(jnp.asarray, backbone_vars)
 
+        if len(loader) == 0:  # fail fast BEFORE the cache build below
+            raise ValueError(
+                f"client {self.cid}: combined dataset ({len(combined)} imgs) "
+                f"smaller than the batch size {cfg.data.combined_batch_size}")
+
         use_cache = use_cached_contrastive(cfg)
         if use_cache:
             # both frozen MOON models are fixed for this whole local run (and
-            # eval-mode), so embed the combined dataset once per model at
-            # full embedding batch size; the step gathers by (position, flip)
-            from .embed import embed_flip_cache
+            # eval-mode), so embed the combined dataset ONCE (one decode/
+            # upload pass, both models per batch) at full embedding batch
+            # size; the step gathers by (position, flip)
+            from .embed import embed_flip_caches
 
             with self._span("phase/contrastive_cache"):
-                g_cache = embed_flip_cache(self._embed_fn, global_vars,
-                                           combined, cfg.data.eval_batch_size)
-                l_cache = embed_flip_cache(self._embed_fn, last_vars,
-                                           combined, cfg.data.eval_batch_size)
+                g_cache, l_cache = embed_flip_caches(
+                    self._embed_fn, [global_vars, last_vars], combined,
+                    cfg.data.eval_batch_size)
 
         if step_fn is None:
             step_fn = make_branch_train_step(
@@ -292,10 +297,6 @@ class Client:
                 num_local=self.num_classes, num_clients=cfg.data.num_clients,
                 fedprox_mu=cfg.fed.fedprox_mu, cached_contrastive=use_cache)
 
-        if len(loader) == 0:
-            raise ValueError(
-                f"client {self.cid}: combined dataset ({len(combined)} imgs) "
-                f"smaller than the batch size {cfg.data.combined_batch_size}")
         import time
 
         key = jnp.asarray(_run_key(cfg.runtime.seed, round_seed, self.cid))

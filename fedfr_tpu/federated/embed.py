@@ -57,19 +57,26 @@ def make_sharded_embed_fn(backbone, mesh, axis: str = "data",
     batch_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     base = make_embed_fn(backbone, bce_module)
-    memo: dict = {}  # id(variables) -> replicated placement
+    # id(variables) -> (strong ref, replicated placement).  A small MAP, not
+    # one slot: the contrastive cache builder alternates two frozen models
+    # per batch, and a single-slot memo would re-replicate the evicted model
+    # (a full weights broadcast) every batch on multi-device meshes.
+    memo: dict = {}
 
     def embed(variables, u8, *args):
-        if memo.get("ref") is not variables:
-            memo["ref"] = variables  # strong ref: keeps id-identity valid
-            memo["placed"] = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, repl), variables)
+        entry = memo.get(id(variables))
+        if entry is None or entry[0] is not variables:
+            if len(memo) >= 8:  # bound growth across many rounds/models
+                memo.clear()
+            entry = (variables, jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), variables))
+            memo[id(variables)] = entry
         b = u8.shape[0]
         bpad = ((b + nd - 1) // nd) * nd
         if bpad > b:
             u8 = jnp.concatenate([u8, jnp.repeat(u8[:1], bpad - b, axis=0)])
         u8 = jax.device_put(u8, batch_sh)
-        out = base(memo["placed"], u8, *args)
+        out = base(entry[1], u8, *args)
         return out[:b] if bpad > b else out
 
     return embed
@@ -146,17 +153,20 @@ def embed_dataset(embed_fn: Callable, variables, dataset, batch_size: int = 512,
     return chunked_device_get(feats), labels_out
 
 
-def embed_flip_cache(embed_fn: Callable, variables, dataset,
-                     batch_size: int = 512,
-                     pad_to_multiple: int = 8192) -> jnp.ndarray:
-    """Per-(image, orientation) feature cache for a FROZEN model: (N', 2, E)
-    device array with axis 1 = [original, h-flipped], in dataset order.
+def embed_flip_caches(embed_fn: Callable, variables_list, dataset,
+                      batch_size: int = 512,
+                      pad_to_multiple: int = 8192) -> list:
+    """Per-(image, orientation) feature caches for FROZEN models: one
+    (N', 2, E) device array per entry of ``variables_list``, axis 1 =
+    [original, h-flipped], in dataset order.
 
     Backs the cached-contrastive train step (trainer.py): the MOON global and
     last-round models are fixed for a whole local run and run in eval mode,
     so instead of two frozen batch-256 forwards per step the client embeds
-    its combined dataset ONCE per (model, run) at full embedding batch size
-    and the step gathers rows by (position, flip).
+    its combined dataset ONCE per run at full embedding batch size and the
+    step gathers rows by (position, flip).  All models share ONE data pass —
+    each batch is decoded/uploaded once and embedded per (model, flip) — so
+    host decode and host->device bytes don't scale with the model count.
 
     The row count is padded up to a multiple of ``pad_to_multiple`` (zeros;
     gathers never touch pad rows — loader positions are < N): the cache
@@ -165,25 +175,29 @@ def embed_flip_cache(embed_fn: Callable, variables, dataset,
     local run would recompile the step (minutes on remote-compile rigs).
     Bucketing bounds the distinct shapes to a handful per workload.
     """
-    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    variables_list = [jax.tree_util.tree_map(jnp.asarray, v)
+                      for v in variables_list]
     from ..data.datasets import BatchLoader
 
-    chunks = []
+    chunks: list = [[] for _ in variables_list]
     with BatchLoader(dataset, batch_size, shuffle=False,
                      drop_last=False) as loader:
         for imgs, _labels, valid in loader.epoch():
             nvalid = int(valid.sum())
             u8 = jnp.asarray(imgs)
-            f0 = embed_fn(variables, u8)
-            f1 = embed_fn(variables, u8[:, :, ::-1, :])
-            chunks.append(jnp.stack([f0, f1], axis=1)[:nvalid])
-    cache = jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            u8f = u8[:, :, ::-1, :]
+            for chunk, variables in zip(chunks, variables_list):
+                f0 = embed_fn(variables, u8)
+                f1 = embed_fn(variables, u8f)
+                chunk.append(jnp.stack([f0, f1], axis=1)[:nvalid])
+    caches = [jnp.concatenate(c) if len(c) > 1 else c[0] for c in chunks]
     if pad_to_multiple > 1:
-        n = cache.shape[0]
+        n = caches[0].shape[0]
         target = -(-n // pad_to_multiple) * pad_to_multiple
         if target > n:
-            cache = jnp.pad(cache, ((0, target - n), (0, 0), (0, 0)))
-    return cache
+            caches = [jnp.pad(c, ((0, target - n), (0, 0), (0, 0)))
+                      for c in caches]
+    return caches
 
 
 def class_mean_features(feats: np.ndarray, labels: np.ndarray,

@@ -473,31 +473,53 @@ class Server:
                                             client_shard)
             last_stacked = global_repl = None
             if use_cache:
-                # frozen MOON features precomputed per (client, model) and
-                # stacked over the group (bucket-padded by embed_flip_cache,
-                # further zero-padded to the group max — gathers never reach
-                # pad rows); replaces the per-step frozen forwards
-                from .embed import embed_flip_cache
+                # frozen MOON features precomputed per client (ONE data pass
+                # per client covers both models) and stacked over the group
+                # (bucket-padded by embed_flip_caches, further zero-padded to
+                # the group max — gathers never reach pad rows); replaces the
+                # per-step frozen forwards
+                from .embed import embed_flip_caches
 
                 with self.timer.span("phase/contrastive_cache"):
-                    g_list = [embed_flip_cache(
-                        self._embed_fn, self.federated_vars, p[0],
-                        cfg.data.eval_batch_size) for p in preps]
-                    l_list = [embed_flip_cache(
-                        self._embed_fn, p[3], p[0],
-                        cfg.data.eval_batch_size) for p in preps]
+                    g_list, l_list = [], []
+                    for p in preps:
+                        g, l = embed_flip_caches(
+                            self._embed_fn, [self.federated_vars, p[3]],
+                            p[0], cfg.data.eval_batch_size)
+                        g_list.append(g)
+                        l_list.append(l)
                     nmax = max(c.shape[0] for c in g_list + l_list)
 
                     def _stackpad(caches):
-                        padded = [
-                            jnp.pad(c, ((0, nmax - c.shape[0]), (0, 0), (0, 0)))
-                            if c.shape[0] < nmax else c for c in caches]
-                        return jax.device_put(
-                            jnp.stack(padded + [padded[0]] * pad),
-                            client_shard)
+                        # assemble the (K, nmax, 2, E) group cache SHARD BY
+                        # SHARD: each client's padded cache is placed
+                        # directly on its mesh slice's devices, so the full
+                        # group cache is never materialized on one device
+                        # (tens of GB when mining keeps most of the public
+                        # set) and the per-host transient is one client's
+                        # cache.  The embed fn may also have produced the
+                        # caches on a different (full data-mesh) device set.
+                        shape = (len(caches), nmax) + caches[0].shape[1:]
+                        padded: dict = {}
 
-                    g_stacked = _stackpad(g_list)
-                    l_stacked = _stackpad(l_list)
+                        def pad_i(i):
+                            if i not in padded:
+                                c = caches[i]
+                                if c.shape[0] < nmax:
+                                    c = jnp.pad(c, ((0, nmax - c.shape[0]),
+                                                    (0, 0), (0, 0)))
+                                padded[i] = c[None]
+                            return padded[i]
+
+                        arrays = [
+                            jax.device_put(pad_i(index[0].start or 0), dev)
+                            for dev, index in
+                            client_shard.devices_indices_map(shape).items()]
+                        return jax.make_array_from_single_device_arrays(
+                            shape, client_shard, arrays)
+
+                    g_stacked = _stackpad(g_list + [g_list[0]] * pad)
+                    l_stacked = _stackpad(l_list + [l_list[0]] * pad)
                     del g_list, l_list
             else:
                 last_stacked = self._stack_for_group([p[3] for p in preps],

@@ -36,12 +36,26 @@ class StepMetrics(NamedTuple):
     con_loss: jnp.ndarray
 
 
+_warned_cache_fallback = False
+
+
 def use_cached_contrastive(cfg) -> bool:
     """One predicate for every build/call site of the cached-contrastive
-    step (client, server sequential round), so they can never disagree on
-    the step signature."""
-    return bool(cfg.fed.cache_contrastive and cfg.fed.contrastive
-                and cfg.fed.fedprox_mu == 0.0)
+    step (client, server sequential round, client-parallel round), so they
+    can never disagree on the step signature."""
+    active = bool(cfg.fed.cache_contrastive and cfg.fed.contrastive
+                  and cfg.fed.fedprox_mu == 0.0)
+    global _warned_cache_fallback
+    if cfg.fed.cache_contrastive and not active and not _warned_cache_fallback:
+        _warned_cache_fallback = True
+        import logging
+
+        logging.getLogger("fedfr_tpu.trainer").warning(
+            "cache_contrastive requested but falling back to per-step "
+            "recompute: %s", "contrastive is disabled"
+            if not cfg.fed.contrastive
+            else "fedprox_mu > 0 needs the global tree inside the step")
+    return active
 
 
 def _apply_backbone(backbone, variables, x, train: bool):

@@ -50,7 +50,7 @@ def make_parallel_branch_step(backbone, bce_module, donate: bool = True,
     ``(stacked_state, g_caches (K,N,2,E), l_caches (K,N,2,E),
     images, labels, valid, idx (K,B), lr, rngs, step)`` — the per-client
     frozen-feature caches are stacked (bucket-padded to one N by
-    embed_flip_cache) and gathered per client.
+    embed_flip_caches) and gathered per client.
     """
     base = make_branch_train_step(backbone, bce_module, jit=False, donate=False,
                                   **kwargs)
