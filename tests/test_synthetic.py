@@ -286,3 +286,29 @@ def test_train_cli_synth_root(tmp_path):
                                     "local_log.txt"))
         for c in range(3))
     assert found
+
+
+def test_cache_contrastive_round_on_synthetic_matches_recompute(tmp_path):
+    """fed.cache_contrastive over the device-synthetic data plane (the
+    at-scale harness configuration: synth rec_root + device_cache) tracks
+    the recompute round — covers embed_flip_caches' device-batch path and
+    the position-threaded synthetic loader before any TPU-hours run it."""
+    from fedfr_tpu.federated import Server
+
+    results = []
+    for cached in (False, True):
+        cfg = _mini_cfg(tmp_path / f"cc{cached}", device_cache=True)
+        cfg.fed.cache_contrastive = cached
+        data = AllClientData(cfg, include_public=True)
+        server = Server(cfg, data)
+        server.train_round()
+        results.append((server.host_federated_vars(),
+                        [c.last_loss for c in server.clients]))
+    import jax
+
+    (vars_a, losses_a), (vars_b, losses_b) = results
+    for la, lb in zip(losses_a, losses_b):
+        assert la == pytest.approx(lb, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(vars_a),
+                    jax.tree_util.tree_leaves(vars_b)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
