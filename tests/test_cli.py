@@ -345,3 +345,20 @@ def test_train_flag_surface_covers_reference():
                          timeout=120).stdout
     missing = sorted(f for f in ref_flags if f not in out)
     assert not missing, f"reference train.py flags not accepted: {missing}"
+
+
+def test_train_cli_cached_contrastive_parallel(pipeline_root, tmp_path):
+    """--cache_contrastive through the CLI on the (default) client-parallel
+    round: the frozen-feature caches are built per group (the
+    phase/contrastive_cache span appears) and the round completes."""
+    import train as train_cli
+
+    outdir = tmp_path / "ccrun"
+    args = _train_args(pipeline_root, outdir, total_round=1)
+    args.cache_contrastive = True
+    train_cli.main(args)
+    log = open(os.path.join(outdir, "training.log")).read()
+    assert "client-parallel training over" in log
+    assert "phase/contrastive_cache" in log
+    assert "avg client loss" in log
+    assert os.path.exists(os.path.join(outdir, "rounds", "round_1.meta.json"))
