@@ -49,6 +49,13 @@ def make_synth_bin(out_path: str, spec: str, n_pairs: int, image_size: int,
     codec payloads; verification decodes them like any rec image)."""
     import pickle
 
+    # honor FEDFR_PLATFORM (e.g. the harness's --cpu): the synthetic split
+    # generates images on whatever backend attaches, and without this the
+    # subprocess ignores the override and grabs the TPU
+    from fedfr_tpu.utils.runtime import apply_platform_override
+
+    apply_platform_override()
+
     from fedfr_tpu.data import codec
     from fedfr_tpu.data.synthetic import build_fl_synthetic, parse_synth_spec
 
