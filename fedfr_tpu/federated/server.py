@@ -734,8 +734,17 @@ class Server:
         """torch-compatible per-round global backbone (server.py:148)."""
         os.makedirs(output_dir, exist_ok=True)
         path = os.path.join(output_dir, f"backbone_{self.global_round}.pth")
-        sd = torch_interop.backbone_to_torch(self.cfg.model.network,
-                                             self.host_federated_vars())
+        host_vars = self.host_federated_vars()
+        try:
+            sd = torch_interop.backbone_to_torch(self.cfg.model.network,
+                                                 host_vars)
+        except NotImplementedError:
+            from ..utils.checkpoint import save_native
+
+            path = os.path.join(output_dir,
+                                f"backbone_{self.global_round}.npz")
+            save_native(host_vars, path)
+            return path
         torch_interop.save_pth(sd, path)
         return path
 

@@ -58,12 +58,23 @@ def use_cached_contrastive(cfg) -> bool:
     return active
 
 
-def _apply_backbone(backbone, variables, x, train: bool):
-    """Run the backbone; returns (feats, new_variables)."""
+def _apply_backbone(backbone, variables, x, train: bool, dropout_rng=None):
+    """Run the backbone; returns (feats, new_variables).
+
+    ``dropout_rng`` feeds stochastic layers (iresnet's pre-embedding
+    Dropout) on the trainable forward; flax ignores unused rng streams, so
+    supplying it is a no-op for dropout-free models (sphnet) and at
+    dropout=0 (the module isn't even constructed, models/iresnet.py).
+    """
+    rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) \
+        else None
     if train and "batch_stats" in variables:
-        feats, mutated = backbone.apply(variables, x, train=True, mutable=["batch_stats"])
+        feats, mutated = backbone.apply(variables, x, train=True,
+                                        mutable=["batch_stats"], rngs=rngs)
         new_vars = dict(variables, batch_stats=mutated["batch_stats"])
         return feats, new_vars
+    if train and rngs is not None:
+        return backbone.apply(variables, x, train=True, rngs=rngs), variables
     feats = backbone.apply(variables, x, train=False)
     return feats, variables
 
@@ -110,12 +121,14 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
             "step; the FedProx proximal term needs it — disable one")
 
     def _run(state: ClientTrainState, x, con_feats, prox_vars, labels,
-             valid, lr):
+             valid, lr, dropout_rng=None):
         def loss_fn(train_params, batch_stats):
             variables = {"params": train_params["backbone"]}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
-            feats, new_vars = _apply_backbone(backbone, variables, x, train=True)
+            feats, new_vars = _apply_backbone(backbone, variables, x,
+                                              train=True,
+                                              dropout_rng=dropout_rng)
 
             cos = cosine_logits(feats, train_params["fc"])
             logits = margin_fn(cos, labels, s, m)
@@ -170,25 +183,29 @@ def make_branch_train_step(backbone, bce_module, *, margin: str = "CosFace",
         # so the sequential loop and the client-parallel vmapped loop consume
         # identical randomness (parallel == sequential parity) and no host
         # key-split dispatch happens per step
-        x = train_preprocess(jax.random.fold_in(rng, step_no), images_u8)
+        base = jax.random.fold_in(rng, step_no)
+        x = train_preprocess(base, images_u8)
 
         def con_feats():
             gfeats, _ = _apply_backbone(backbone, global_vars, x, train=False)
             lfeats, _ = _apply_backbone(backbone, last_vars, x, train=False)
             return gfeats, lfeats
 
-        return _run(state, x, con_feats, global_vars, labels, valid, lr)
+        return _run(state, x, con_feats, global_vars, labels, valid, lr,
+                    dropout_rng=jax.random.fold_in(base, 1))
 
     def cached_step(state: ClientTrainState, g_cache, l_cache,
                     images_u8, labels, valid, idx, lr, rng, step_no):
-        flip = flip_mask(jax.random.fold_in(rng, step_no), images_u8.shape[0])
+        base = jax.random.fold_in(rng, step_no)
+        flip = flip_mask(base, images_u8.shape[0])
         x = normalize_images(apply_hflip(flip, images_u8))
         fi = flip.astype(jnp.int32)
 
         def con_feats():
             return g_cache[idx, fi], l_cache[idx, fi]
 
-        return _run(state, x, con_feats, None, labels, valid, lr)
+        return _run(state, x, con_feats, None, labels, valid, lr,
+                    dropout_rng=jax.random.fold_in(base, 1))
 
     chosen = cached_step if cached_contrastive else step
     if not jit:
@@ -205,13 +222,17 @@ def make_plain_train_step(backbone, *, margin: str = "CosFace", s: float = 30.0,
     margin_fn = MARGINS[margin]
 
     def step(state: ClientTrainState, images_u8, labels, valid, lr, rng, step_no):
-        x = train_preprocess(jax.random.fold_in(rng, step_no), images_u8)
+        base = jax.random.fold_in(rng, step_no)
+        x = train_preprocess(base, images_u8)
+        dropout_rng = jax.random.fold_in(base, 1)
 
         def loss_fn(train_params, batch_stats):
             variables = {"params": train_params["backbone"]}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
-            feats, new_vars = _apply_backbone(backbone, variables, x, train=True)
+            feats, new_vars = _apply_backbone(backbone, variables, x,
+                                              train=True,
+                                              dropout_rng=dropout_rng)
             cos = cosine_logits(feats, train_params["fc"])
             logits = margin_fn(cos, labels, s, m)
             if reweight:

@@ -310,6 +310,17 @@ def iresnet_to_torch(variables: Dict[str, Any], depth: int) -> Dict[str, Any]:
 
 
 def backbone_to_torch(name: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+    # the reference modules hardcode the 112x112 geometry (fc(512*7*7 -> E),
+    # iresnet.py:97 / sphnet.py:52); a flax net trained at another image size
+    # has a different fc in-dim and CANNOT round-trip to a torch state_dict —
+    # raise the NotImplementedError every save path catches (-> .npz fallback)
+    if name.startswith(("sphnet", "iresnet")):
+        fc_in = int(variables["params"]["fc"]["kernel"].shape[0])
+        if fc_in != 512 * 7 * 7:
+            raise NotImplementedError(
+                f"torch export of '{name}' assumes the reference 112x112 "
+                f"input geometry (fc in-dim 25088, got {fc_in}); the "
+                f"checkpoint is saved as .npz instead")
     if name.startswith("sphnet"):
         depth = 20 if name == "sphnet20" else 64
         if "params" in variables and any(k.endswith("_blocks")

@@ -72,6 +72,7 @@ def main(args):
     logger.info("public set: %d imgs / %d ids", len(dataset), num_classes)
 
     backbone = build_backbone(args.network, args.embedding_size,
+                              dropout=getattr(args, "dropout", 0.0),
                               bf16=not args.fp32, scan_blocks=args.scan_blocks)
     key = jax.random.PRNGKey(args.seed)
     variables = backbone.init(key, jnp.zeros((1, args.image_size, args.image_size, 3)),
@@ -90,14 +91,17 @@ def main(args):
                               num_valid=num_valid)
         sampled = False
 
-    def loss_fn(params, batch_stats, weight, x, labels, rng):
+    def loss_fn(params, batch_stats, weight, x, labels, rng, drng):
+        rngs = ({"dropout": drng}
+                if getattr(args, "dropout", 0.0) > 0 else None)
         if batch_stats is not None:
             feats, mutated = backbone.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], rngs=rngs)
             new_bs = mutated["batch_stats"]
         else:
-            feats = backbone.apply({"params": params}, x, train=True)
+            feats = backbone.apply({"params": params}, x, train=True,
+                                   rngs=rngs)
             new_bs = None
         if sampled:
             loss = pfc(rng, feats, labels, weight)
@@ -108,10 +112,13 @@ def main(args):
     @jax.jit
     def train_step(params, batch_stats, weight, opt, wopt, u8, labels, lr, rng):
         prng, srng = jax.random.split(rng)
+        # fold_in (not a wider split): keeps prng/srng streams identical to
+        # dropout-free runs, so existing trajectories/resume states replay
+        drng = jax.random.fold_in(rng, 1)
         x = train_preprocess(prng, u8)
         (loss, new_bs), (gp, gw) = jax.value_and_grad(
             loss_fn, argnums=(0, 2), has_aux=True)(
-            params, batch_stats, weight, x, labels, srng)
+            params, batch_stats, weight, x, labels, srng, drng)
         params, opt = sgd_update(params, gp, opt, lr, args.momentum,
                                  args.weight_decay)
         weight, wopt = sgd_update(weight, gw, wopt, lr, args.momentum,
@@ -236,6 +243,8 @@ if __name__ == "__main__":
     parser.add_argument("--num_workers", type=int, default=6)
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--seed", type=int, default=100)
+    parser.add_argument("--dropout", type=float, default=0.0,
+                        help="backbone dropout before the embedding fc")
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--scan_blocks", action="store_true")
     parser.add_argument("--resume", action="store_true",

@@ -517,3 +517,53 @@ def test_parallel_cached_contrastive_matches_sequential(fl_root):
     for cs, cp in zip(server_s.clients, server_p.clients):
         np.testing.assert_allclose(cs.fc_local, cp.fc_local,
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_dropout_backbone_trains():
+    """--dropout wires a live stochastic layer: the trainable forward needs
+    (and gets) a dropout rng from the step's fold_in stream, eval forwards
+    stay deterministic, and both step families train it without error
+    (reference iresnet.py factory kwarg; its FedFR path never sets it,
+    so nonzero dropout is extra capability that must not crash)."""
+    from fedfr_tpu.federated.trainer import (init_client_state,
+                                             make_branch_train_step,
+                                             make_plain_train_step)
+
+    E, B, H = 16, 4, IMG
+    backbone = build_backbone("iresnet18", embedding_size=E, dropout=0.5,
+                              bf16=False)
+    zeros = jnp.zeros((1, H, H, 3))
+    variables = backbone.init(jax.random.PRNGKey(0), zeros, train=False)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, H, H, 3)),
+                    jnp.float32)
+
+    # dropout is active in train mode (distinct rngs -> distinct features)
+    # and silent in eval mode (no rng needed, deterministic)
+    f1, _ = backbone.apply(variables, x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+    f2, _ = backbone.apply(variables, x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(f1), np.asarray(f2))
+    e1 = backbone.apply(variables, x, train=False)
+    e2 = backbone.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    imgs = np.random.default_rng(1).integers(0, 255, (B, H, H, 3), np.uint8)
+    labels = np.array([0, 1, 2, 0], np.int32)
+    valid = np.ones(B, bool)
+    key = jax.random.PRNGKey(3)
+    fc = jnp.asarray(0.01 * np.random.default_rng(2).normal(size=(3, E)),
+                     jnp.float32)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    pstep = make_plain_train_step(backbone)
+    state = init_client_state(copy(variables), jnp.copy(fc), None)  # donated
+    state, loss = pstep(state, imgs, labels, valid, jnp.float32(0.01), key, 0)
+    assert np.isfinite(float(loss))
+
+    bstep = make_branch_train_step(backbone, None, contrastive=True)
+    v_glob = backbone.init(jax.random.PRNGKey(4), zeros, train=False)
+    state2 = init_client_state(copy(variables), jnp.copy(fc), None)
+    state2, metrics = bstep(state2, v_glob, copy(variables), imgs, labels,
+                            valid, jnp.float32(0.01), key, 0)
+    assert np.isfinite(float(metrics.loss))

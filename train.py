@@ -57,6 +57,7 @@ def build_config(args) -> "FedFRConfig":
     # getattr: harness code (tests, experiment drivers) may pass trimmed
     # Namespaces predating these flags
     cfg.model.freeze_bn = getattr(args, "freeze_bn", False)
+    cfg.model.dropout = getattr(args, "dropout", 0.0)
     cfg.model.converter_layers = getattr(args, "converter_layer", 1)
     cfg.runtime.device_cache = getattr(args, "device_cache", False)
     cfg.runtime.client_ckpt_every = getattr(args, "client_ckpt_every", 1)
@@ -291,6 +292,9 @@ if __name__ == "__main__":
     parser.add_argument("--freeze_bn", action="store_true",
                         help="train with BatchNorm in inference mode "
                              "(reference freeze_BN, iresnet.py:140-156)")
+    parser.add_argument("--dropout", type=float, default=0.0,
+                        help="backbone dropout before the embedding fc "
+                             "(reference iresnet.py factory kwarg)")
     parser.add_argument("--converter_layer", type=int, default=1,
                         help="BCE transformation layer: 1=linear, else "
                              "BottleBlock (reference cfg.converter_layer)")
