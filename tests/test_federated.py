@@ -155,6 +155,36 @@ def test_backbone_torch_interop_roundtrip():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_backbone_torch_export_geometry_guard():
+    """Non-reference input geometry cannot round-trip to a torch state_dict
+    (the reference modules hardcode fc(512*7*7 -> E), sphnet.py:52) — the
+    export raises NotImplementedError so save paths fall back to .npz."""
+    from fedfr_tpu.utils import torch_interop as ti
+
+    backbone = build_backbone("sphnet20", 64, bf16=False)
+    variables = jax.device_get(backbone.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3)), train=False))
+    with pytest.raises(NotImplementedError):
+        ti.backbone_to_torch("sphnet20", variables)
+
+
+def test_save_round_checkpoint_npz_fallback(fl_root, tmp_path):
+    """A backbone with no torch export (toy net) still produces a loadable
+    per-round checkpoint via the .npz fallback."""
+    from fedfr_tpu.utils.checkpoint import load_native
+
+    cfg = _tiny_cfg(fl_root, add_pretrained_data=False, bce_local=False,
+                    contrastive=False, return_all=False)
+    data = AllClientData(cfg, include_public=False)
+    server = Server(cfg, data)
+    path = server.save_round_checkpoint(str(tmp_path))
+    assert path.endswith("backbone_0.npz") and os.path.exists(path)
+    loaded = load_native(path)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                    jax.tree_util.tree_leaves(server.host_federated_vars())):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_client_parallel_round(fl_root):
     """Client-parallel round over the mesh client axis matches the engine's
     contract: all clients trained, aggregation applied."""
