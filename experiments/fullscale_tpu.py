@@ -29,6 +29,7 @@ import re
 import shutil
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -95,16 +96,45 @@ def make_synth_bin(out_path: str, spec: str, n_pairs: int, image_size: int,
 RUN_ENV = dict(os.environ)
 
 
-def run(cmd, log_path=None):
+class Stall(RuntimeError):
+    """The subprocess produced no output for stall_timeout seconds."""
+
+
+def run(cmd, log_path=None, stall_timeout=None):
+    """Stream cmd's output.  With stall_timeout set, watchdog the stream:
+    the axon tunnel's PJRT connection can wedge mid-device-call (observed:
+    tcp_recvmsg blocked 45+ min while a FRESH client on the same backend
+    executes fine), and a wedged call never returns — output silence is the
+    only detectable symptom.  Legit silent windows on this rig are bounded
+    by the round-checkpoint fetch (~20 min), so the default timeout in
+    main() stays above that."""
     print("+", " ".join(cmd), flush=True)
     t0 = time.time()
+    stalled = False
     with open(log_path, "a") if log_path else open(os.devnull, "w") as sink:
         p = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True, env=RUN_ENV)
-        for line in p.stdout:
-            print(line, end="", flush=True)
-            sink.write(line)
+        last = [time.time()]
+
+        def pump():
+            for line in p.stdout:
+                print(line, end="", flush=True)
+                sink.write(line)
+                last[0] = time.time()
+
+        t = threading.Thread(target=pump, daemon=True)
+        t.start()
+        while t.is_alive():
+            t.join(timeout=15)
+            if (stall_timeout and t.is_alive()
+                    and time.time() - last[0] > stall_timeout):
+                stalled = True
+                p.kill()  # closes the pipe -> pump exits
+                break
+        t.join()
         p.wait()
+    if stalled:
+        raise Stall(f"{cmd[0]} {cmd[1]}: no output for {stall_timeout:.0f}s")
     if p.returncode != 0:
         raise RuntimeError(f"{cmd[0]} {cmd[1]} failed rc={p.returncode}")
     return time.time() - t0
@@ -153,6 +183,10 @@ def main():
                     "(train.py --cache_contrastive)")
     ap.add_argument("--resume", action="store_true",
                     help="resume train.py from its round checkpoints")
+    ap.add_argument("--stall_timeout", type=float, default=1800,
+                    help="watchdog: restart train.py (with --resume) after "
+                    "this many seconds of output silence; 0 disables")
+    ap.add_argument("--max_restarts", type=int, default=4)
     args = ap.parse_args()
 
     if args.cpu:
@@ -175,7 +209,8 @@ def main():
                   "--embedding_size", str(args.embedding_size),
                   "--batch_size", "512" if not args.quick else "64",
                   "--num_epoch", str(args.pretrain_epochs),
-                  "--lr", "0.001", "--lr_steps", ""])
+                  "--lr", "0.001", "--lr_steps", ""],
+                 stall_timeout=args.stall_timeout or None)
         summary["pretrain_s"] = round(dt, 1)
 
     bin_path = os.path.join(val_dir, "agedb_30.bin")
@@ -214,8 +249,25 @@ def main():
         cmd.append("--resume")
     if args.cache_contrastive:
         cmd.append("--cache_contrastive")
-    dt = run(cmd)
-    summary["train_total_s"] = round(dt, 1)
+    # watchdog + auto-resume: a wedged tunnel call or a crash loses at most
+    # the in-progress round (round checkpoints are the restart points;
+    # restore() with no checkpoint starts round 0, so --resume is always
+    # safe to append)
+    t0, restarts = time.time(), 0
+    while True:
+        try:
+            run(cmd, stall_timeout=args.stall_timeout or None)
+            break
+        except (Stall, RuntimeError) as e:
+            restarts += 1
+            if restarts > args.max_restarts:
+                raise
+            print(f"! train.py attempt {restarts} failed ({e}); "
+                  "relaunching with --resume", flush=True)
+            if "--resume" not in cmd:
+                cmd.append("--resume")
+    summary["train_total_s"] = round(time.time() - t0, 1)
+    summary["train_restarts"] = restarts
 
     stamps, phases, mem, mined, losses = parse_training_log(
         os.path.join(run_dir, "training.log"))
