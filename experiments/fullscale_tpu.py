@@ -124,8 +124,9 @@ def run(cmd, log_path=None, stall_timeout=None):
 
         t = threading.Thread(target=pump, daemon=True)
         t.start()
+        poll = min(15.0, stall_timeout / 2) if stall_timeout else 15.0
         while t.is_alive():
-            t.join(timeout=15)
+            t.join(timeout=poll)
             if (stall_timeout and t.is_alive()
                     and time.time() - last[0] > stall_timeout):
                 stalled = True

@@ -238,3 +238,45 @@ def test_phase_deltas_banner_keyed():
         "span phase/local_train  total  1500.0s\n")
     assert logparse.phase_deltas(log)["phase/local_train"] == \
         [950.0, 990.0, 510.0]
+
+
+def _load_fullscale():
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "fullscale_tpu", os.path.join(repo, "experiments", "fullscale_tpu.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fullscale_watchdog_kills_silent_subprocess():
+    """The harness watchdog raises Stall when the subprocess stops emitting
+    output (the rig's tunneled PJRT connection can wedge mid-device-call
+    with silence as the only symptom, CLAUDE.md) — and the kill must not
+    wait for the wedged process to exit on its own."""
+    import sys
+    import time
+
+    fs = _load_fullscale()
+    t0 = time.time()
+    with pytest.raises(fs.Stall):
+        fs.run([sys.executable, "-c",
+                "print('one line', flush=True); import time; time.sleep(120)"],
+               stall_timeout=3.0)
+    assert time.time() - t0 < 60  # killed, not slept out
+
+
+def test_fullscale_watchdog_passes_healthy_subprocess():
+    """A chatty subprocess under the same stall_timeout completes normally
+    and run() returns its wall time."""
+    import sys
+
+    fs = _load_fullscale()
+    dt = fs.run([sys.executable, "-c",
+                 "import time\n"
+                 "for i in range(10):\n"
+                 "    print('tick', i, flush=True); time.sleep(0.2)"],
+                stall_timeout=8.0)
+    assert dt < 60
