@@ -188,6 +188,32 @@ def test_train_cli_resume(pipeline_root, tmp_path):
     assert "extra" in meta and "best" in meta["extra"]
 
 
+def test_train_cli_resume_cached_contrastive(pipeline_root, tmp_path):
+    """The stall watchdog's recovery path (experiments/fullscale_tpu.py): a
+    FRESH process resumes a --cache_contrastive run from its round
+    checkpoint and continues the schedule.  The frozen-MOON cache is a
+    per-(client, round) artifact rebuilt inside each round, so resume needs
+    no cache state — the resumed round must still log its own
+    phase/contrastive_cache span."""
+    import train as train_cli
+
+    outdir = tmp_path / "run_cc"
+    a1 = _train_args(pipeline_root, outdir, total_round=1)
+    a1.cache_contrastive = True
+    train_cli.main(a1)
+    span_count = open(os.path.join(outdir, "training.log")).read().count(
+        "phase/contrastive_cache")
+    assert span_count > 0
+
+    a2 = _train_args(pipeline_root, outdir, total_round=2, resume=True)
+    a2.cache_contrastive = True
+    train_cli.main(a2)
+    log = open(os.path.join(outdir, "training.log")).read()
+    assert "resumed at round 1" in log
+    assert log.count("phase/contrastive_cache") > span_count
+    assert os.path.exists(os.path.join(outdir, "rounds", "round_2.meta.json"))
+
+
 def test_local_all_cli(pipeline_root, trained_run, tmp_path):
     """Post-hoc personalized 1:1 + 1:n over trained client checkpoints."""
     outdir = trained_run
