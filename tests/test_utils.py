@@ -280,3 +280,40 @@ def test_fullscale_watchdog_passes_healthy_subprocess():
                  "    print('tick', i, flush=True); time.sleep(0.2)"],
                 stall_timeout=8.0)
     assert dt < 60
+
+
+def test_harvest_client_walls_reset_across_processes(tmp_path, capsys):
+    """harvest_fullscale pairs consecutive client-start stamps into walls;
+    a watchdog-restarted run appends a second process whose first client is
+    [1/N] again — the dead process's last client must NOT pair with it
+    (hours of stall gap would read as one client's wall)."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "harvest_fullscale",
+        os.path.join(repo, "experiments", "harvest_fullscale.py"))
+    hf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(hf)
+
+    log = tmp_path / "training.log"
+    log.write_text(
+        "2026-08-18 04:00:00 === Start Federated learning ===\n"
+        "2026-08-18 04:00:00 ====== Round 0 ======\n"
+        "2026-08-18 04:00:10 round 0 [1/3] client 0 training\n"
+        "2026-08-18 04:01:10 round 0 [2/3] client 1 training\n"
+        # client 1 wedges here; watchdog restarts 2 h later
+        "2026-08-18 06:00:00 === Start Federated learning ===\n"
+        "2026-08-18 06:00:00 ====== Round 0 ======\n"
+        "2026-08-18 06:00:10 round 0 [1/3] client 0 training\n"
+        "2026-08-18 06:01:20 round 0 [2/3] client 1 training\n"
+        "2026-08-18 06:02:20 round 0 [3/3] client 2 training\n"
+        "2026-08-18 06:03:20 training done\n")
+    import json as _json
+
+    hf.main(str(log))
+    out = _json.loads(capsys.readouterr().out)
+    walls = out["client_wall_s"]["0"]
+    # pairs: (c0->c1) x2 processes + (c1->c2) in the second; NO 2-hour pair
+    assert walls["n"] == 3
+    assert walls["max"] <= 70.0
