@@ -179,6 +179,11 @@ def main():
                     help="run the CLI subprocesses on the CPU backend")
     ap.add_argument("--skip_pretrain", action="store_true",
                     help="reuse work_dir/pre from an earlier run")
+    ap.add_argument("--ckpt_async", action="store_true",
+                    help="overlap round-checkpoint serialization with the "
+                    "next round (train.py --round_ckpt_async); cuts the "
+                    "per-round critical-path checkpoint cost to the device "
+                    "fetch alone")
     ap.add_argument("--cache_contrastive", action="store_true",
                     help="enable the per-round frozen-MOON feature cache "
                     "(train.py --cache_contrastive)")
@@ -250,6 +255,8 @@ def main():
         cmd.append("--resume")
     if args.cache_contrastive:
         cmd.append("--cache_contrastive")
+    if args.ckpt_async:
+        cmd.append("--round_ckpt_async")
     # watchdog + auto-resume: a wedged tunnel call or a crash loses at most
     # the in-progress round (round checkpoints are the restart points;
     # restore() with no checkpoint starts round 0, so --resume is always

@@ -117,6 +117,15 @@ class FederatedConfig:
     num_local_eval_clients: int = 10    # clients sampled for per-round local 1:1 eval
     client_parallel: bool = True        # train clients concurrently over the mesh
                                         # 'client' axis instead of sequentially
+    lockstep: int = 1                   # clients resident per client-axis slice:
+                                        # each parallel group advances
+                                        # lockstep * mesh client-axis size
+                                        # clients per dispatch (vmapped on-
+                                        # device; >1 batches multiple clients'
+                                        # convs into one larger XLA program —
+                                        # fewer host sync points and higher
+                                        # MXU occupancy at small per-client
+                                        # batch, paid for in activations HBM)
 
 
 @dataclass

@@ -421,7 +421,10 @@ class Server:
             self.local_epoch = max(4, self.local_epoch - 2)
             self.train_decay = max(1, int(3 / 4 * self.local_epoch))
 
-        K = mesh.shape["client"]
+        # lockstep > 1 stacks several clients per client-axis slice: the
+        # vmapped step batches their convs into one XLA program (the leading
+        # K axis shards evenly because K = lockstep * axis size)
+        K = mesh.shape["client"] * max(1, cfg.fed.lockstep)
         self._check_uniform_classes()
         use_cache = use_cached_contrastive(cfg)
         if self._parallel_step is None:  # one executable for all rounds
@@ -511,10 +514,18 @@ class Server:
                                 padded[i] = c[None]
                             return padded[i]
 
-                        arrays = [
-                            jax.device_put(pad_i(index[0].start or 0), dev)
-                            for dev, index in
-                            client_shard.devices_indices_map(shape).items()]
+                        # a device's shard covers fed.lockstep clients (one
+                        # when lockstep == 1): concatenate exactly the rows
+                        # its index slice asks for
+                        arrays = []
+                        for dev, index in client_shard.devices_indices_map(
+                                shape).items():
+                            lo = index[0].start or 0
+                            hi = index[0].stop or shape[0]
+                            part = (pad_i(lo) if hi - lo == 1 else
+                                    jnp.concatenate(
+                                        [pad_i(i) for i in range(lo, hi)]))
+                            arrays.append(jax.device_put(part, dev))
                         return jax.make_array_from_single_device_arrays(
                             shape, client_shard, arrays)
 
@@ -616,7 +627,7 @@ class Server:
         if cfg.fed.adaptive_local_epoch and self.global_round != 0:
             self.local_epoch = max(4, self.local_epoch - 2)
             self.train_decay = max(1, int(3 / 4 * self.local_epoch))
-        K = mesh.shape["client"]
+        K = mesh.shape["client"] * max(1, cfg.fed.lockstep)
         if len({self.clients[cid].num_classes
                 for cid in self.current_client_list}) > 1:
             raise ValueError("plain client-parallel requires uniform local "

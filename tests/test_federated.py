@@ -271,6 +271,55 @@ def test_parallel_plain_round_matches_sequential(fl_root):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_lockstep_single_device_matches_sequential(fl_root):
+    """``fed.lockstep`` stacks several clients per client-axis slice — here
+    ALL of them on a ONE-device mesh (the single-chip lockstep mode): the
+    vmapped group batches every client's convs into one XLA program, and
+    the round still matches the reference-semantics sequential loop."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg_s = _tiny_cfg(fl_root)
+    cfg_p = _tiny_cfg(fl_root, lockstep=NUM_CLIENTS)
+    server_s = Server(cfg_s, AllClientData(cfg_s))
+    server_p = Server(cfg_p, AllClientData(cfg_p))
+
+    server_s.train_round()
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    server_p.train_round_parallel(mesh)
+
+    assert len({c.dataset_size for c in server_p.clients}) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(server_s.federated_vars),
+                    jax.tree_util.tree_leaves(server_p.federated_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(server_s.pretrained_fc, server_p.pretrained_fc,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_lockstep_with_padded_group_matches_sequential(fl_root):
+    """lockstep=2 over one device chunks 3 clients into groups [0,1] and
+    [2,pad] — the padded-slot discard and per-group stacking stay correct
+    when K exceeds the device count."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg_s = _tiny_cfg(fl_root)
+    cfg_p = _tiny_cfg(fl_root, lockstep=2)
+    server_s = Server(cfg_s, AllClientData(cfg_s))
+    server_p = Server(cfg_p, AllClientData(cfg_p))
+
+    server_s.train_round()
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    server_p.train_round_parallel(mesh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(server_s.federated_vars),
+                    jax.tree_util.tree_leaves(server_p.federated_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for cs, cp in zip(server_s.clients, server_p.clients):
+        np.testing.assert_allclose(cs.fc_local, cp.fc_local,
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_parallel_plain_round_applies_adaptive_epochs(fl_root):
     """Past round 0, the plain-parallel path decays local_epoch exactly like
     the sequential loop (reference server.py:278-280)."""

@@ -65,6 +65,7 @@ def build_config(args) -> "FedFRConfig":
     cfg.runtime.round_ckpt_keep = getattr(args, "round_ckpt_keep", 0)
     cfg.runtime.round_ckpt_async = getattr(args, "round_ckpt_async", False)
     cfg.fed.cache_contrastive = getattr(args, "cache_contrastive", False)
+    cfg.fed.lockstep = max(1, getattr(args, "lockstep", 1) or 1)
     if args.val_targets:
         cfg.runtime.val_targets = args.val_targets.split(",")
     return cfg
@@ -171,12 +172,13 @@ def main(args):
     import jax
 
     mesh = None
-    if cfg.fed.client_parallel and len(jax.devices()) > 1:
+    if cfg.fed.client_parallel and (len(jax.devices()) > 1
+                                    or cfg.fed.lockstep > 1):
         from fedfr_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
-        logger.info("client-parallel training over %d devices "
-                    "(%s objective)", mesh.shape["client"],
+        logger.info("client-parallel training over %d devices x lockstep %d "
+                    "(%s objective)", mesh.shape["client"], cfg.fed.lockstep,
                     "branch" if cfg.fed.add_pretrained_data else "plain")
 
     from fedfr_tpu.utils.profiling import SpanTimer, xla_trace
@@ -261,6 +263,13 @@ if __name__ == "__main__":
                         "(client, round) and gather per step instead of "
                         "re-running the two frozen forwards every step "
                         "(same math; ~1.3x faster local training)")
+    parser.add_argument("--lockstep", type=int, default=1,
+                        help="clients resident per client-axis mesh slice: "
+                        "each parallel group advances lockstep * (client-"
+                        "axis size) clients per vmapped dispatch; >1 "
+                        "batches several clients' convs into one XLA "
+                        "program (enables client-parallel lockstep on a "
+                        "single chip)")
     parser.add_argument("--return_all", action="store_true")
     parser.add_argument("--combine_dataset", action="store_true")
     parser.add_argument("--BCE_local", action="store_true")
