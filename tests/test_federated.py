@@ -320,6 +320,34 @@ def test_lockstep_with_padded_group_matches_sequential(fl_root):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_lockstep_multidevice_cached_contrastive_matches_sequential(fl_root):
+    """lockstep=2 on a TWO-device client axis (K=4 over 3 clients) with
+    fed.cache_contrastive: each device's shard now holds TWO clients'
+    stacked frozen-MOON caches (the per-device concatenate branch of the
+    group-cache assembly) and the padded fourth slot lands mid-shard — the
+    round still matches the sequential cached round."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg_s = _tiny_cfg(fl_root, cache_contrastive=True)
+    cfg_p = _tiny_cfg(fl_root, cache_contrastive=True, lockstep=2)
+    server_s = Server(cfg_s, AllClientData(cfg_s))
+    server_p = Server(cfg_p, AllClientData(cfg_p))
+
+    server_s.train_round()
+    mesh = make_mesh((2, 1, 1), devices=jax.devices()[:2])
+    server_p.train_round_parallel(mesh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(server_s.federated_vars),
+                    jax.tree_util.tree_leaves(server_p.federated_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(server_s.pretrained_fc, server_p.pretrained_fc,
+                               rtol=1e-6, atol=1e-6)
+    for cs, cp in zip(server_s.clients, server_p.clients):
+        np.testing.assert_allclose(cs.fc_local, cp.fc_local,
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_parallel_plain_round_applies_adaptive_epochs(fl_root):
     """Past round 0, the plain-parallel path decays local_epoch exactly like
     the sequential loop (reference server.py:278-280)."""
