@@ -187,6 +187,10 @@ def main():
     ap.add_argument("--cache_contrastive", action="store_true",
                     help="enable the per-round frozen-MOON feature cache "
                     "(train.py --cache_contrastive)")
+    ap.add_argument("--lockstep", type=int, default=1,
+                    help="clients resident per client-axis slice (train.py "
+                    "--lockstep); >1 runs the client-parallel round on the "
+                    "single chip with several clients batched per dispatch")
     ap.add_argument("--resume", action="store_true",
                     help="resume train.py from its round checkpoints")
     ap.add_argument("--stall_timeout", type=float, default=1800,
@@ -257,6 +261,8 @@ def main():
         cmd.append("--cache_contrastive")
     if args.ckpt_async:
         cmd.append("--round_ckpt_async")
+    if args.lockstep > 1:
+        cmd += ["--lockstep", str(args.lockstep)]
     # watchdog + auto-resume: a wedged tunnel call or a crash loses at most
     # the in-progress round (round checkpoints are the restart points;
     # restore() with no checkpoint starts round 0, so --resume is always
