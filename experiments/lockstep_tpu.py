@@ -20,16 +20,18 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def cheap_init(jax, jnp, shapes):
-    return jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 1e-2, s.dtype)
-        if jnp.issubdtype(s.dtype, jnp.floating)
-        else jnp.zeros(s.shape, s.dtype), shapes)
+
+from bench import cheap_init  # noqa: E402  fan-in-scaled random weights
+                              # (constant fills explode through the BN-free
+                              # sphnet trunk -> NaN loss, see bench.py)
 
 
 def bench_k(jax, jnp, K: int, iters: int = 4, n_cache: int = 16_384,
