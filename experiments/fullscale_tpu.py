@@ -88,9 +88,17 @@ def make_synth_bin(out_path: str, spec: str, n_pairs: int, image_size: int,
         imgs, _ = veri.device_batch(np.asarray(picks[s:s + 100]))
         for im in np.asarray(imgs):
             bins.append(codec.encode_raw(im))
+        # progress keeps the parent's silence watchdog fed (run() restarts
+        # the subprocess on a wedged tunnel call, CLAUDE.md)
+        print(f"synth_bin: {min(s + 100, len(picks))}/{len(picks)} imgs",
+              flush=True)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    with open(out_path, "wb") as f:
+    # atomic: a watchdog kill mid-write must not leave a truncated .bin
+    # that a resumed harness would skip regenerating
+    tmp = out_path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump((bins, issame), f)
+    os.replace(tmp, out_path)
 
 
 RUN_ENV = dict(os.environ)
@@ -232,8 +240,19 @@ def main():
                 "from experiments.fullscale_tpu import make_synth_bin; "
                 "make_synth_bin(%r, %r, n_pairs=%d, image_size=112)" % (
                     REPO, bin_path, spec, 1000 if not args.quick else 64))
-        subprocess.run([sys.executable, "-c", code], check=True, cwd=REPO,
-                       env=RUN_ENV)
+        # same watchdog as the train/pretrain phases: generation runs device
+        # work, and a wedged tunnel call here would hang the harness before
+        # train.py ever starts.  Stalls retry (the write is atomic, a killed
+        # attempt leaves no partial .bin); rc!=0 raises immediately.
+        for attempt in range(3):
+            try:
+                run([sys.executable, "-c", code],
+                    stall_timeout=args.stall_timeout or None)
+                break
+            except Stall:
+                if attempt == 2:
+                    raise
+                print("! synth-bin generation stalled; retrying", flush=True)
 
     # run.sh flag surface + the at-scale runtime knobs (device-resident
     # client states, client artifacts off, round state for resume)
@@ -269,10 +288,17 @@ def main():
     # safe to append)
     t0, restarts = time.time(), 0
     while True:
+        attempt_t0 = time.time()
         try:
             run(cmd, stall_timeout=args.stall_timeout or None)
             break
-        except (Stall, RuntimeError) as e:
+        except RuntimeError as e:  # Stall subclasses RuntimeError
+            # a non-stall exit within the first minute is a deterministic
+            # failure (bad flag, corrupt checkpoint) — relaunching would
+            # just pay the remote-compile startup to fail identically
+            if (not isinstance(e, Stall)
+                    and time.time() - attempt_t0 < 60.0):
+                raise
             restarts += 1
             if restarts > args.max_restarts:
                 raise

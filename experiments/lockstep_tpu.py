@@ -80,8 +80,10 @@ def bench_k(jax, jnp, K: int, iters: int = 4, n_cache: int = 16_384,
     n_total = iters + 2
     inputs = [make_inputs(k)
               for k in jax.random.split(jax.random.PRNGKey(1), n_total)]
-    for i, l, x in inputs:
-        i.block_until_ready()
+    # block_until_ready is NOT a reliable barrier on this rig's transport
+    # (CLAUDE.md); device execution is in-order, so fetching one row of the
+    # LAST dispatch's output barriers every pending input generation
+    np.asarray(inputs[-1][0][0, 0, :1])
 
     def dispatch(state, n):
         imgs, labels, idx = inputs[n]

@@ -285,6 +285,25 @@ class Server:
                 f"the joint branch objective requires uniform shards "
                 f"(reference split_FL.py relabels every client 0..99)")
 
+    def _lockstep_group_size(self, mesh) -> int:
+        """Clients per vmapped group: client-axis size x ``fed.lockstep``,
+        clamped so one group never exceeds the per-round sampled client
+        count — an oversized ``--lockstep`` would otherwise burn the excess
+        slots every round on padded duplicate-client compute whose results
+        are discarded.  ``sample_clients`` draws a fixed count per run, so
+        the clamp (and the jitted step's stacked shapes) is round-stable."""
+        axis = mesh.shape["client"]
+        lockstep = max(1, self.cfg.fed.lockstep)
+        n = max(1, len(self.current_client_list))
+        max_useful = -(-n // axis)  # ceil: smallest lockstep covering n
+        if lockstep > max_useful:
+            logger.warning(
+                "lockstep %d oversized for %d sampled clients on a %d-wide "
+                "client axis (padded duplicate compute); clamping to %d",
+                lockstep, n, axis, max_useful)
+            lockstep = max_useful
+        return axis * lockstep
+
     def train_round(self) -> Dict[str, float]:
         cfg = self.cfg
         if not self.current_client_list:
@@ -424,7 +443,7 @@ class Server:
         # lockstep > 1 stacks several clients per client-axis slice: the
         # vmapped step batches their convs into one XLA program (the leading
         # K axis shards evenly because K = lockstep * axis size)
-        K = mesh.shape["client"] * max(1, cfg.fed.lockstep)
+        K = self._lockstep_group_size(mesh)
         self._check_uniform_classes()
         use_cache = use_cached_contrastive(cfg)
         if self._parallel_step is None:  # one executable for all rounds
@@ -627,7 +646,7 @@ class Server:
         if cfg.fed.adaptive_local_epoch and self.global_round != 0:
             self.local_epoch = max(4, self.local_epoch - 2)
             self.train_decay = max(1, int(3 / 4 * self.local_epoch))
-        K = mesh.shape["client"] * max(1, cfg.fed.lockstep)
+        K = self._lockstep_group_size(mesh)
         if len({self.clients[cid].num_classes
                 for cid in self.current_client_list}) > 1:
             raise ValueError("plain client-parallel requires uniform local "

@@ -113,8 +113,11 @@ def main(args):
     def train_step(params, batch_stats, weight, opt, wopt, u8, labels, lr, rng):
         prng, srng = jax.random.split(rng)
         # fold_in (not a wider split): keeps prng/srng streams identical to
-        # dropout-free runs, so existing trajectories/resume states replay
-        drng = jax.random.fold_in(rng, 1)
+        # dropout-free runs, so existing trajectories/resume states replay.
+        # The tag must NOT be 1: threefry fold_in(k, i) == split(k)[i], so
+        # fold_in(rng, 1) would be bit-identical to srng and the dropout
+        # stream would reuse the partial-FC sampling key
+        drng = jax.random.fold_in(rng, 0x64726F70)  # "drop"
         x = train_preprocess(prng, u8)
         (loss, new_bs), (gp, gw) = jax.value_and_grad(
             loss_fn, argnums=(0, 2), has_aux=True)(

@@ -320,6 +320,30 @@ def test_lockstep_with_padded_group_matches_sequential(fl_root):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_oversized_lockstep_clamps_to_sampled_clients(fl_root):
+    """An oversized ``--lockstep`` (K far beyond the sampled client count)
+    is clamped instead of silently burning every round's excess slots on
+    padded duplicate-client compute; the clamped round still matches the
+    sequential loop."""
+    from fedfr_tpu.parallel.mesh import make_mesh
+
+    cfg_s = _tiny_cfg(fl_root)
+    cfg_p = _tiny_cfg(fl_root, lockstep=10 * NUM_CLIENTS)
+    server_s = Server(cfg_s, AllClientData(cfg_s))
+    server_p = Server(cfg_p, AllClientData(cfg_p))
+
+    mesh = make_mesh((1, 1, 1), devices=jax.devices()[:1])
+    server_p.current_client_list = server_p.sample_clients()
+    assert server_p._lockstep_group_size(mesh) == NUM_CLIENTS
+
+    server_s.train_round()
+    server_p.train_round_parallel(mesh)
+    for a, b in zip(jax.tree_util.tree_leaves(server_s.federated_vars),
+                    jax.tree_util.tree_leaves(server_p.federated_vars)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_lockstep_multidevice_cached_contrastive_matches_sequential(fl_root):
     """lockstep=2 on a TWO-device client axis (K=4 over 3 clients) with
     fed.cache_contrastive: each device's shard now holds TWO clients'

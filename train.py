@@ -203,12 +203,9 @@ def main(args):
                 server.test()
             rce = cfg.runtime.round_ckpt_every
             if rce and server.global_round % rce == 0:
-                try:
-                    server.save_round_checkpoint(cfg.runtime.output_dir)
-                except NotImplementedError:
-                    save_native(server.host_federated_vars(),
-                                os.path.join(cfg.runtime.output_dir,
-                                             f"backbone_{server.global_round}.npz"))
+                # falls back to .npz internally when the network has no
+                # torch-export geometry (Server.save_round_checkpoint)
+                server.save_round_checkpoint(cfg.runtime.output_dir)
             cce = cfg.runtime.client_ckpt_every
             if cce and server.global_round % cce == 0:
                 server.save_client_checkpoints(cfg.runtime.output_dir)
