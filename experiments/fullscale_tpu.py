@@ -183,6 +183,10 @@ def main():
     ap.add_argument("--embedding_size", type=int, default=512)
     ap.add_argument("--quick", action="store_true",
                     help="miniature multiplicities (CI / smoke)")
+    ap.add_argument("--spec_extra", default="",
+                    help="extra synth-spec keys appended to the workload "
+                    "spec, e.g. 'expr=0.5,shift_div=4,noise=30' (the "
+                    "difficulty knobs, fedfr_tpu/data/synthetic.py)")
     ap.add_argument("--cpu", action="store_true",
                     help="run the CLI subprocesses on the CPU backend")
     ap.add_argument("--skip_pretrain", action="store_true",
@@ -210,6 +214,8 @@ def main():
     if args.cpu:
         RUN_ENV["FEDFR_PLATFORM"] = "cpu"
     spec = QUICK_SPEC if args.quick else FULL_SPEC
+    if args.spec_extra:
+        spec += "," + args.spec_extra
     w = args.work_dir
     pre = os.path.join(w, "pre")
     run_dir = os.path.join(w, "run")
@@ -244,13 +250,15 @@ def main():
         # work, and a wedged tunnel call here would hang the harness before
         # train.py ever starts.  Stalls retry (the write is atomic, a killed
         # attempt leaves no partial .bin); rc!=0 raises immediately.
-        for attempt in range(3):
+        for attempt in range(args.max_restarts + 1):
+            if os.path.exists(bin_path):  # a killed attempt may have landed
+                break
             try:
                 run([sys.executable, "-c", code],
                     stall_timeout=args.stall_timeout or None)
                 break
             except Stall:
-                if attempt == 2:
+                if attempt == args.max_restarts:
                     raise
                 print("! synth-bin generation stalled; retrying", flush=True)
 
@@ -286,19 +294,25 @@ def main():
     # the in-progress round (round checkpoints are the restart points;
     # restore() with no checkpoint starts round 0, so --resume is always
     # safe to append)
-    t0, restarts = time.time(), 0
+    t0, restarts, fast_fails = time.time(), 0, 0
     while True:
         attempt_t0 = time.time()
         try:
             run(cmd, stall_timeout=args.stall_timeout or None)
             break
         except RuntimeError as e:  # Stall subclasses RuntimeError
-            # a non-stall exit within the first minute is a deterministic
-            # failure (bad flag, corrupt checkpoint) — relaunching would
-            # just pay the remote-compile startup to fail identically
-            if (not isinstance(e, Stall)
-                    and time.time() - attempt_t0 < 60.0):
-                raise
+            # TWO consecutive non-stall exits within the first minute mean a
+            # deterministic failure (bad flag, corrupt checkpoint) —
+            # relaunching would just pay the remote-compile startup to fail
+            # identically.  A single fast failure still retries: transient
+            # launch-time errors (tunnel connection refused, early OOM kill)
+            # recover fine under --resume.
+            if not isinstance(e, Stall) and time.time() - attempt_t0 < 60.0:
+                fast_fails += 1
+                if fast_fails >= 2:
+                    raise
+            else:
+                fast_fails = 0
             restarts += 1
             if restarts > args.max_restarts:
                 raise

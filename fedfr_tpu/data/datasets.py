@@ -137,7 +137,9 @@ class CombinedDataset:
             assert (local.seed == public.seed
                     and local.image_size == public.image_size
                     and local.noise == public.noise
-                    and local.block == public.block), \
+                    and local.block == public.block
+                    and local.expr == public.expr
+                    and local.shift_div == public.shift_div), \
                 "combined synthetic splits must share one universe"
 
     @property

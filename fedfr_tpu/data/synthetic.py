@@ -24,6 +24,14 @@ Spec strings (``synth:key=value,...``) are understood by
     synth:clients=40,ids_per_client=100,imgs_min=61,imgs_max=69,
           public_ids=6000,public_imgs=420671,veri_ids=4000,veri_imgs=40,
           blend=0.6,blend_frac=0.5,seed=100
+
+Difficulty knobs (defaults reproduce the easy universe bit-for-bit):
+``expr`` blends each SAMPLE toward a random distractor template with weight
+U(0, expr) — structured intra-class variation a CNN cannot average away, so
+pair cosines overlap and veri metrics come off the ceiling; ``shift_div``
+sets the spatial-roll amplitude to size//shift_div (sphnet's fc head is
+shift-sensitive, so larger shifts are a LEARNABLE nuisance — training
+recovers what the pretrained model loses to it).
 """
 
 from __future__ import annotations
@@ -48,7 +56,7 @@ def parse_synth_spec(spec: str) -> Dict[str, float]:
         public_ids=6000, public_imgs=420671, public_imgs_min=61,
         public_imgs_max=79, veri_ids=4000, veri_imgs=40,
         blend=0.6, blend_frac=0.5, seed=100, image_size=112, noise=18,
-        block=4)
+        block=4, expr=0.0, shift_div=8)
     body = spec.split(":", 1)[1] if ":" in spec else ""
     for kv in body.split(","):
         if not kv.strip():
@@ -56,7 +64,7 @@ def parse_synth_spec(spec: str) -> Dict[str, float]:
         k, v = kv.split("=")
         out[k.strip()] = float(v)
     for k in out:
-        if k not in ("blend", "blend_frac"):
+        if k not in ("blend", "blend_frac", "expr"):
             out[k] = int(out[k])
     return out
 
@@ -72,7 +80,8 @@ def is_synth_spec(path: str) -> bool:
     return isinstance(path, str) and path.startswith("synth:")
 
 
-def _make_generator(size: int, noise: int, block: int):
+def _make_generator(size: int, noise: int, block: int, expr: float,
+                    shift_div: int):
     """Jitted (keys, gids, blend_gids, blend_w, dseeds, master) -> u8 images.
 
     All per-batch inputs are flat ``(B,)`` vectors so ONE executable serves
@@ -95,20 +104,29 @@ def _make_generator(size: int, noise: int, block: int):
             blk = jax.random.randint(kb, (block, block, 3), 30, 226)
             return blk.astype(jnp.float32)
 
-        base = jnp.repeat(jnp.repeat(
-            (1.0 - bw) * block_of(gid) + bw * block_of(bgid), rep, 0), rep, 1)
         ki = jax.random.fold_in(jax.random.fold_in(master, (1 << 30) + dseed),
                                 key_id)
+        base = (1.0 - bw) * block_of(gid) + bw * block_of(bgid)
+        if expr > 0.0:
+            # "expression" nuisance: blend each SAMPLE toward a random
+            # distractor template — structured intra-class variation along
+            # inter-class directions, so pair cosines genuinely overlap and
+            # the veri metrics stay off the ceiling (unlike iid pixel noise,
+            # a CNN cannot average this out)
+            u = expr * jax.random.uniform(jax.random.fold_in(ki, 5))
+            dgid = jax.random.randint(jax.random.fold_in(ki, 6), (),
+                                      1 << 26, 1 << 30)
+            base = (1.0 - u) * base + u * block_of(dgid)
+        base = jnp.repeat(jnp.repeat(base, rep, 0), rep, 1)
         n = jax.random.randint(jax.random.fold_in(ki, 0),
                                (size, size, 3), -noise, noise + 1)
         img = base + n.astype(jnp.float32)
         scale = 0.75 + 0.5 * jax.random.uniform(jax.random.fold_in(ki, 1))
         offset = jax.random.randint(jax.random.fold_in(ki, 2), (), -20, 21)
+        amp = size // shift_div
+        dy = jax.random.randint(jax.random.fold_in(ki, 3), (), -amp, amp + 1)
+        dx = jax.random.randint(jax.random.fold_in(ki, 4), (), -amp, amp + 1)
         img = img * scale + offset.astype(jnp.float32)
-        dy = jax.random.randint(jax.random.fold_in(ki, 3), (), -(size // 8),
-                                size // 8 + 1)
-        dx = jax.random.randint(jax.random.fold_in(ki, 4), (), -(size // 8),
-                                size // 8 + 1)
         img = jnp.roll(img, (dy, dx), axis=(0, 1))
         return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
@@ -123,10 +141,11 @@ def _make_generator(size: int, noise: int, block: int):
 _GEN_CACHE: Dict = {}
 
 
-def _generator(size: int, noise: int, block: int):
-    key = (size, noise, block)
+def _generator(size: int, noise: int, block: int, expr: float,
+               shift_div: int):
+    key = (size, noise, block, expr, shift_div)
     if key not in _GEN_CACHE:
-        _GEN_CACHE[key] = _make_generator(size, noise, block)
+        _GEN_CACHE[key] = _make_generator(size, noise, block, expr, shift_div)
     return _GEN_CACHE[key]
 
 
@@ -147,6 +166,7 @@ class SyntheticFaceDataset:
     def __init__(self, labels: np.ndarray, class_gids: np.ndarray, *,
                  id_base: int = 0, seed: int = 100, dataset_seed: int = 0,
                  image_size: int = 112, noise: int = 18, block: int = 4,
+                 expr: float = 0.0, shift_div: int = 8,
                  blend_gids: Optional[np.ndarray] = None,
                  blend_w: Optional[np.ndarray] = None):
         labels = np.asarray(labels, np.int32)
@@ -163,6 +183,8 @@ class SyntheticFaceDataset:
         self.image_size = image_size
         self.noise = noise
         self.block = block  # template grid resolution (identity-space size)
+        self.expr = float(expr)  # per-sample distractor-blend max weight
+        self.shift_div = int(shift_div)  # roll amplitude = size // shift_div
         self.seed = seed
         self.dataset_seed = dataset_seed
         self._master = None  # device key, built lazily
@@ -230,7 +252,7 @@ def synth_device_batch(dataset: "SyntheticFaceDataset", vecs):
         dataset._master = jax.random.PRNGKey(dataset.seed)
     keys, gids, bgids, bw, dseeds = vecs
     gen = _generator(dataset.image_size, dataset.noise,
-                     dataset.block)
+                     dataset.block, dataset.expr, dataset.shift_div)
     return gen(jnp.asarray(keys), jnp.asarray(gids), jnp.asarray(bgids),
                jnp.asarray(bw), jnp.asarray(dseeds), dataset._master)
 
@@ -258,6 +280,8 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
     n_clients, ipc = int(spec["clients"]), int(spec["ids_per_client"])
     size, noise = int(spec["image_size"]), int(spec["noise"])
     block = int(spec.get("block", 4))
+    hard = dict(expr=float(spec.get("expr", 0.0)),
+                shift_div=int(spec.get("shift_div", 8)))
 
     clients = []
     for c in range(n_clients):
@@ -267,7 +291,7 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
         gids = (c * ipc + np.arange(ipc)).astype(np.int32)
         clients.append(SyntheticFaceDataset(
             labels, gids, id_base=c * ipc, seed=seed, dataset_seed=c + 1,
-            image_size=size, noise=noise, block=block))
+            image_size=size, noise=noise, block=block, **hard))
 
     # public: exact total image count with per-ID counts in the split's range
     n_pub, total = int(spec["public_ids"]), int(spec["public_imgs"])
@@ -297,7 +321,7 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
                        0.0).astype(np.float32)
     public = SyntheticFaceDataset(labels, gids, id_base=0, seed=seed,
                                   dataset_seed=500_001, image_size=size,
-                                  noise=noise, block=block,
+                                  noise=noise, block=block, **hard,
                                   blend_gids=blend_gids, blend_w=blend_w)
 
     n_veri, vpi = int(spec["veri_ids"]), int(spec["veri_imgs"])
@@ -305,5 +329,5 @@ def build_fl_synthetic(spec: Dict) -> Dict[str, object]:
     vgids = np.arange(n_veri, dtype=np.int32)  # same identities as FL pool
     veri = SyntheticFaceDataset(vlabels, vgids, id_base=0, seed=seed,
                                 dataset_seed=900_001, image_size=size,
-                                noise=noise, block=block)
+                                noise=noise, block=block, **hard)
     return {"clients": clients, "public": public, "veri": veri}

@@ -297,8 +297,12 @@ class Server:
         n = max(1, len(self.current_client_list))
         max_useful = -(-n // axis)  # ceil: smallest lockstep covering n
         if lockstep > max_useful:
-            logger.warning(
-                "lockstep %d oversized for %d sampled clients on a %d-wide "
+            # warn once per run, not once per round (long runs call this
+            # every round from each parallel path)
+            log = (logger.debug if getattr(self, "_lockstep_warned", False)
+                   else logger.warning)
+            self._lockstep_warned = True
+            log("lockstep %d oversized for %d sampled clients on a %d-wide "
                 "client axis (padded duplicate compute); clamping to %d",
                 lockstep, n, axis, max_useful)
             lockstep = max_useful

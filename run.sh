@@ -8,5 +8,5 @@ python3 train.py --pretrained_root './pretrain' --network 'sphnet' \
   --rec_root "${FEDFR_DATA:-./data/ms1m_split}" \
   --val_root "${FEDFR_VAL:-./data/val}" \
   --local_rec "${FEDFR_DATA:-./data/ms1m_split}/local_veri_4000" \
-  --add_pretrained_data --combine_dataset --contrastive_bb --return_all \
-  --BCE_local --adaptive_local_epoch
+  --fedface --add_pretrained_data --combine_dataset --contrastive_bb \
+  --return_all --BCE_local --adaptive_local_epoch

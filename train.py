@@ -218,10 +218,22 @@ def main(args):
                 ms = jax.local_devices()[0].memory_stats() or {}
                 import resource
 
+                in_use = ms.get("bytes_in_use", 0)
+                if not in_use:
+                    # the axon PJRT plugin returns no memory_stats; sum the
+                    # live device buffers instead (measured HBM residency of
+                    # everything reachable — e.g. the 40 cached client
+                    # states — though not XLA's transient scratch peak)
+                    devs = set(jax.local_devices())
+                    in_use = sum(
+                        x.nbytes for x in jax.live_arrays()
+                        if not devs.isdisjoint(x.devices()))
+                live_peak = max(getattr(main, "_mem_peak", 0), in_use)
+                main._mem_peak = live_peak
                 logger.info(
                     "memory: device in_use %.0f MB peak %.0f MB | host maxrss %.0f MB",
-                    ms.get("bytes_in_use", 0) / 1e6,
-                    ms.get("peak_bytes_in_use", 0) / 1e6,
+                    in_use / 1e6,
+                    (ms.get("peak_bytes_in_use", 0) or live_peak) / 1e6,
                     resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3)
             except Exception:
                 pass
