@@ -208,6 +208,11 @@ def main():
     ap.add_argument("--stall_timeout", type=float, default=1800,
                     help="watchdog: restart train.py (with --resume) after "
                     "this many seconds of output silence; 0 disables")
+    ap.add_argument("--round_ckpt_every", type=int, default=1,
+                    help="checkpoint cadence (train.py --round_ckpt_every); "
+                    "raise to amortize the ~7.6 GB resume-state device fetch "
+                    "over several rounds at the cost of coarser restart "
+                    "granularity")
     ap.add_argument("--max_restarts", type=int, default=4)
     args = ap.parse_args()
 
@@ -280,7 +285,8 @@ def main():
            "--rec_root", spec, "--local_rec", "synth",
            "--val_root", val_dir,
            "--device_cache", "--client_ckpt_every", "0",
-           "--round_ckpt_every", "1", "--round_ckpt_keep", "2",
+           "--round_ckpt_every", str(args.round_ckpt_every),
+           "--round_ckpt_keep", "2",
            "--scan_blocks"]
     if args.resume:
         cmd.append("--resume")

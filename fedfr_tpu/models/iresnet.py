@@ -19,7 +19,8 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import PReLU, batch_norm, conv1x1, conv3x3, dense_fp32, normal_init
+from .layers import (PReLU, TorchBatchNorm, batch_norm, conv1x1, conv3x3,
+                     dense_fp32, normal_init)
 
 _DEPTH_LAYERS: Dict[int, Tuple[int, int, int, int]] = {
     18: (2, 2, 2, 2),
@@ -131,7 +132,7 @@ class IResNet(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = dense_fp32(self.embedding_size, name="fc")(x)
         # BN1d "features" head: scale frozen at 1 (use_scale=False), bias trained
-        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
-                         use_scale=False, use_bias=True, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="features")(x)
+        x = TorchBatchNorm(use_running_average=not bn_train, momentum=0.9,
+                           epsilon=1e-5, use_scale=False, use_bias=True,
+                           name="features")(x)
         return x

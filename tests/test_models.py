@@ -237,3 +237,66 @@ def test_flops_counter_scan_invariant_and_analytic():
             jnp.zeros((4, 112, 112, 3), jnp.float32))
     assert counts[True] == counts[False]
     assert counts[True] > 4 * 1e9  # sphere20 is multi-GFLOP per batch of 4
+
+
+@skip_without_reference
+def test_batchnorm_running_stats_parity_with_torch():
+    """TorchBatchNorm folds the UNBIASED batch variance into the running
+    average exactly like torch.nn.BatchNorm (reference backbones train-mode
+    BN, iresnet.py:37-42); flax's nn.BatchNorm folds the biased one.  FedFR
+    aggregates running stats across clients (reference server.py:25-33), so
+    the running buffers — not just the normalized output — must match."""
+    import torch
+
+    from fedfr_tpu.models.layers import TorchBatchNorm
+
+    rng = np.random.default_rng(0)
+    tbn = torch.nn.BatchNorm1d(16, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(
+            rng.normal(1.0, 0.1, 16).astype(np.float32)))
+        tbn.bias.copy_(torch.from_numpy(
+            rng.normal(0.0, 0.1, 16).astype(np.float32)))
+    tbn.train()
+
+    jbn = TorchBatchNorm(use_running_average=False, momentum=0.9)
+    x0 = rng.normal(size=(7, 16)).astype(np.float32)
+    variables = jbn.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+    variables = {
+        "params": {"scale": jnp.asarray(tbn.weight.detach().numpy()),
+                   "bias": jnp.asarray(tbn.bias.detach().numpy())},
+        "batch_stats": variables["batch_stats"],
+    }
+
+    for step in range(3):
+        x = rng.normal(loc=step, scale=1.0 + step,
+                       size=(7, 16)).astype(np.float32)
+        want = tbn(torch.from_numpy(x)).detach().numpy()
+        got, mutated = jbn.apply(variables, jnp.asarray(x),
+                                 mutable=["batch_stats"])
+        variables = {"params": variables["params"], **mutated}
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-6, atol=2e-6)
+
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(variables["batch_stats"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-6, atol=1e-7)
+
+    # flax's nn.BatchNorm would FAIL the var check (biased fold): the two
+    # rules differ by n/(n-1) = 7/6 on each update — assert the gap is real
+    # so this test can't silently pass on a biased implementation.
+    from flax import linen as fnn
+    fbn = fnn.BatchNorm(use_running_average=False, momentum=0.9,
+                        epsilon=1e-5)
+    fv = {"params": variables["params"],
+          "batch_stats": {"mean": jnp.zeros(16), "var": jnp.ones(16)}}
+    _, fm = fbn.apply(fv, jnp.asarray(x0), mutable=["batch_stats"])
+    _, jm = jbn.apply({"params": variables["params"],
+                       "batch_stats": {"mean": jnp.zeros(16),
+                                       "var": jnp.ones(16)}},
+                      jnp.asarray(x0), mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(fm["batch_stats"]["var"]),
+                           np.asarray(jm["batch_stats"]["var"]), rtol=1e-3)

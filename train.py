@@ -199,20 +199,25 @@ def main(args):
                         server.train_round_parallel(mesh)
                     else:
                         server.train_round()
-            with timer.span("eval"):
+            with timer.span("eval"), server.timer.span("phase/bin_eval"):
                 server.test()
             rce = cfg.runtime.round_ckpt_every
             if rce and server.global_round % rce == 0:
                 # falls back to .npz internally when the network has no
                 # torch-export geometry (Server.save_round_checkpoint)
-                server.save_round_checkpoint(cfg.runtime.output_dir)
+                with server.timer.span("phase/torch_export"):
+                    server.save_round_checkpoint(cfg.runtime.output_dir)
             cce = cfg.runtime.client_ckpt_every
             if cce and server.global_round % cce == 0:
                 server.save_client_checkpoints(cfg.runtime.output_dir)
             server.advance_round()
             if rce and (server.global_round - 1) % rce == 0:
-                ckpt.save(server, extra={
-                    "best": [list(h) for h in bin_cb.highest] if bin_cb else []})
+                # with --round_ckpt_async this span is the device fetch only;
+                # the npz/zlib write overlaps the next round
+                with server.timer.span("phase/round_ckpt"):
+                    ckpt.save(server, extra={
+                        "best": [list(h) for h in bin_cb.highest]
+                        if bin_cb else []})
             server.timer.report(logger)  # cumulative per-phase breakdown
             try:  # device + host memory telemetry (backend-dependent)
                 ms = jax.local_devices()[0].memory_stats() or {}
