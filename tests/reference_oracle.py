@@ -46,3 +46,17 @@ def load_class_source(relpath: str, class_name: str, namespace: dict):
             exec(code, namespace)
             return namespace[class_name]
     raise LookupError(f"{class_name} not found in {relpath}")
+
+
+def load_function_source(relpath: str, func_name: str, namespace: dict):
+    """Execute a single top-level function from a reference file in
+    ``namespace`` (e.g. server.py's FedPavg, whose module imports need a GPU
+    rig).  Same extraction idea as load_class_source."""
+    path = os.path.join(REFERENCE, relpath)
+    tree = ast.parse(open(path).read())
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == func_name:
+            code = compile(ast.Module(body=[node], type_ignores=[]), path, "exec")
+            exec(code, namespace)
+            return namespace[func_name]
+    raise LookupError(f"{func_name} not found in {relpath}")
