@@ -36,14 +36,15 @@ from bench import cheap_init  # noqa: E402  fan-in-scaled random weights
 
 def bench_k(jax, jnp, K: int, iters: int = 4, n_cache: int = 16_384,
             network: str = "sphnet", E: int = 512, B: int = 256,
-            img: int = 112):
+            img: int = 112, remat: bool = False):
     from fedfr_tpu.federated.trainer import init_client_state
     from fedfr_tpu.models import BCEModule, build_backbone
     from fedfr_tpu.parallel.client_parallel import make_parallel_branch_step
 
     n_local, n_global = 100, 6000
     backbone = build_backbone(network, E, bf16=True,
-                              scan_blocks=(network != "toy"))
+                              scan_blocks=(network != "toy"),
+                              remat_blocks=remat)
     key = jax.random.PRNGKey(0)
     init = functools.partial(cheap_init, jax, jnp)
 
@@ -102,7 +103,7 @@ def bench_k(jax, jnp, K: int, iters: int = 4, n_cache: int = 16_384,
     loss = np.asarray(metrics.loss)  # chained donated states -> barrier
     dt = time.perf_counter() - t0
     assert np.isfinite(loss).all()
-    return {"K": K, "ms_per_step": round(dt / iters * 1e3, 2),
+    return {"K": K, "remat": remat, "ms_per_step": round(dt / iters * 1e3, 2),
             "imgs_per_sec": round(K * B * iters / dt, 1),
             "warmup_s": round(compile_s, 1)}
 
@@ -119,6 +120,8 @@ def main():
     ap.add_argument("--embed", type=int, default=512)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--image_size", type=int, default=112)
+    ap.add_argument("--remat", action="store_true",
+                    help="nn.remat residual blocks (the K=4 HBM-fit knob)")
     args = ap.parse_args()
 
     import jax
@@ -128,7 +131,7 @@ def main():
     for k in [int(x) for x in args.ks.split(",")]:
         r = bench_k(jax, jnp, k, iters=args.iters, n_cache=args.n_cache,
                     network=args.network, E=args.embed, B=args.batch,
-                    img=args.image_size)
+                    img=args.image_size, remat=args.remat)
         if results and results[0]["K"] == 1:
             r["speedup_vs_sequential"] = round(
                 r["imgs_per_sec"] / results[0]["imgs_per_sec"], 3)

@@ -53,6 +53,9 @@ class ModelConfig:
                                         # (mirrors reference fp16 autocast, iresnet.py:158-172)
     converter_layers: int = 1           # BCE transformation layer: 1=linear, else BottleBlock
     scan_blocks: bool = False           # nn.scan repeated blocks (faster compile)
+    remat_blocks: bool = False          # nn.remat residual blocks: O(depth) lower
+                                        # activation memory for ~1 extra forward
+                                        # (fits lockstep K on one chip's HBM)
     freeze_bn: bool = False             # BN in inference mode during training
                                         # (reference freeze_BN, iresnet.py:140-156)
 

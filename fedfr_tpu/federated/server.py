@@ -48,7 +48,8 @@ class Server:
         self.backbone = build_backbone(cfg.model.network, cfg.model.embedding_size,
                                        cfg.model.dropout, cfg.model.bf16,
                                        scan_blocks=cfg.model.scan_blocks,
-                                       freeze_bn=cfg.model.freeze_bn)
+                                       freeze_bn=cfg.model.freeze_bn,
+                                       remat_blocks=cfg.model.remat_blocks)
         self.bce_module = BCEModule(cfg.model.embedding_size,
                                     data.train_class_sizes[0],
                                     cfg.model.converter_layers,

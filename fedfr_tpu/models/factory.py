@@ -31,23 +31,26 @@ class ToyNet(nn.Module):
 
 def build_backbone(name: str, embedding_size: int = 512, dropout: float = 0.0,
                    bf16: bool = True, scan_blocks: bool = False,
-                   freeze_bn: bool = False) -> nn.Module:
+                   freeze_bn: bool = False,
+                   remat_blocks: bool = False) -> nn.Module:
     """``freeze_bn`` puts BatchNorm in inference mode during training
     (reference freeze_BN/unfreeze_BN, iresnet.py:140-156); sphere nets are
-    BN-free so it is a no-op there."""
+    BN-free so it is a no-op there.  ``remat_blocks`` trades one extra
+    forward of FLOPs for an O(depth) cut in peak activation memory
+    (numerics unchanged) — used by lockstep client groups to fit HBM."""
     if name == "toy":
         return ToyNet(embedding_size=embedding_size)
     if name == "sphnet":
         return SphNet(depth=64, embedding_size=embedding_size, bf16=bf16,
-                      scan_blocks=scan_blocks)
+                      scan_blocks=scan_blocks, remat_blocks=remat_blocks)
     if name == "sphnet20":
         return SphNet(depth=20, embedding_size=embedding_size, bf16=bf16,
-                      scan_blocks=scan_blocks)
+                      scan_blocks=scan_blocks, remat_blocks=remat_blocks)
     if name.startswith("iresnet"):
         depth = int(name[len("iresnet"):])
         return IResNet(depth=depth, embedding_size=embedding_size,
                        dropout=dropout, bf16=bf16, scan_blocks=scan_blocks,
-                       freeze_bn=freeze_bn)
+                       freeze_bn=freeze_bn, remat_blocks=remat_blocks)
     raise ValueError(f"unknown backbone '{name}'")
 
 

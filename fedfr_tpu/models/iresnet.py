@@ -90,6 +90,10 @@ class IResNet(nn.Module):
     bf16: bool = True
     freeze_bn: bool = False  # BN in eval mode during training (iresnet.py:140)
     scan_blocks: bool = False
+    # nn.remat every residual block: backward recomputes block activations,
+    # cutting peak activation memory O(depth) for ~1 extra forward of FLOPs
+    # (numerics unchanged) — see sphnet.SphNet.remat_blocks
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,13 +107,20 @@ class IResNet(nn.Module):
         x = PReLU(64, dtype=jnp.float32, name="prelu")(x)
 
         inplanes = 64
+        # remat'd blocks: `train` is a module attribute of the scan body and
+        # a static kwarg of IBasicBlock — mark it static so jax.checkpoint
+        # only sees array operands (BN stats thread through as collections)
+        blk = (nn.remat(IBasicBlock, static_argnums=(2,))
+               if self.remat_blocks else IBasicBlock)
+        scan_body = (nn.remat(_ScanIBasicBlock) if self.remat_blocks
+                     else _ScanIBasicBlock)
         for stage, (blocks, feats) in enumerate(zip(layers, (64, 128, 256, 512)), start=1):
             if self.scan_blocks:
-                x = IBasicBlock(feats, stride=2, downsample=True, dtype=dtype,
-                                freeze_bn=self.freeze_bn,
-                                name=f"layer{stage}_block0")(x, train=train)
+                x = blk(feats, stride=2, downsample=True, dtype=dtype,
+                        freeze_bn=self.freeze_bn,
+                        name=f"layer{stage}_block0")(x, train)
                 if blocks > 1:
-                    scan = nn.scan(_ScanIBasicBlock,
+                    scan = nn.scan(scan_body,
                                    variable_axes={"params": 0, "batch_stats": 0},
                                    split_rngs={"params": True},
                                    length=blocks - 1)
@@ -121,9 +132,9 @@ class IResNet(nn.Module):
             for b in range(blocks):
                 stride = 2 if b == 0 else 1
                 need_ds = stride != 1 or inplanes != feats
-                x = IBasicBlock(feats, stride=stride, downsample=need_ds, dtype=dtype,
-                                freeze_bn=self.freeze_bn,
-                                name=f"layer{stage}_block{b}")(x, train=train)
+                x = blk(feats, stride=stride, downsample=need_ds, dtype=dtype,
+                        freeze_bn=self.freeze_bn,
+                        name=f"layer{stage}_block{b}")(x, train)
                 inplanes = feats
 
         x = batch_norm(bn_train, name="bn2")(x.astype(jnp.float32))

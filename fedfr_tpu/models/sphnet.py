@@ -56,12 +56,21 @@ class SphNet(nn.Module):
     ``nn.scan`` (params stacked on a leading axis): the traced program shrinks
     ~5x, cutting XLA compile time accordingly.  Numerics are identical; the
     checkpoint layout differs (see utils/torch_interop.sphnet_scan_params).
+
+    ``remat_blocks=True`` wraps each residual block in ``nn.remat``
+    (jax.checkpoint): the backward pass recomputes block activations instead
+    of keeping every intermediate live, trading ~1 extra forward of FLOPs
+    for an O(depth) cut in peak activation memory — the knob that lets
+    K-stacked lockstep client groups (parallel/client_parallel.py) fit HBM
+    at K where the un-remat'd program's temps exceed it (DESIGN.md
+    lockstep notes).  Numerics are unchanged.
     """
 
     depth: int = 64
     embedding_size: int = 512
     bf16: bool = True
     scan_blocks: bool = False
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,16 +92,19 @@ class SphNet(nn.Module):
                         name=f"layer{stage}_conv")(x)
             x = PReLU(feats, dtype=dtype, name=f"layer{stage}_prelu")(x)
             if self.scan_blocks:
-                scan = nn.scan(_ScanSphereBlock,
+                body = (nn.remat(_ScanSphereBlock) if self.remat_blocks
+                        else _ScanSphereBlock)
+                scan = nn.scan(body,
                                variable_axes={"params": 0},
                                split_rngs={"params": True},
                                length=blocks)
                 x, _ = scan(feats, dtype=dtype,
                             name=f"layer{stage}_blocks")(x, None)
             else:
+                blk = nn.remat(SphereBlock) if self.remat_blocks else SphereBlock
                 for b in range(blocks):
-                    x = SphereBlock(feats, dtype=dtype,
-                                    name=f"layer{stage}_block{b}")(x)
+                    x = blk(feats, dtype=dtype,
+                            name=f"layer{stage}_block{b}")(x)
 
         # (B, 7, 7, 512) -> flatten; embedding projection in fp32
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)

@@ -300,3 +300,56 @@ def test_batchnorm_running_stats_parity_with_torch():
                       jnp.asarray(x0), mutable=["batch_stats"])
     assert not np.allclose(np.asarray(fm["batch_stats"]["var"]),
                            np.asarray(jm["batch_stats"]["var"]), rtol=1e-3)
+
+
+def test_remat_blocks_is_numerically_transparent():
+    """remat_blocks must not change the model's math: identical forward
+    outputs, identical BN batch_stats updates, and gradients equal up to
+    recompute reassociation.  It only changes the backward's memory/FLOPs
+    schedule (the --lockstep K=4 HBM-fit knob, DESIGN.md)."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 112, 112, 3), jnp.float32)
+
+    for name, scan in [("sphnet20", True), ("iresnet18", True),
+                       ("iresnet18", False)]:
+        base = build_backbone(name, 64, bf16=False, scan_blocks=scan)
+        remat = build_backbone(name, 64, bf16=False, scan_blocks=scan,
+                               remat_blocks=True)
+        variables = base.init(key, x, train=False)
+
+        np.testing.assert_array_equal(
+            np.asarray(base.apply(variables, x, train=False)),
+            np.asarray(remat.apply(variables, x, train=False)))
+
+        has_bn = "batch_stats" in variables
+
+        def loss(params, mod):
+            v = {"params": params}
+            if has_bn:
+                v["batch_stats"] = variables["batch_stats"]
+                f, upd = mod.apply(v, x, train=True,
+                                   mutable=["batch_stats"])
+                return jnp.mean(f ** 2), upd["batch_stats"]
+            return jnp.mean(mod.apply(v, x, train=True) ** 2), None
+
+        (la, bs_a), ga = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"], base)
+        (lb, bs_b), gb = jax.value_and_grad(loss, has_aux=True)(
+            variables["params"], remat)
+        # remat'd programs compile differently (prevent_cse) so fp32
+        # reductions may reassociate even in the primal — noise-level only
+        assert abs(float(la) - float(lb)) < 1e-6 * abs(float(la))
+        if has_bn:  # stats fold through the remat'd forward up to
+            # reduction-reassociation noise (observed ~1e-8)
+            for sa, sb in zip(jax.tree_util.tree_leaves(bs_a),
+                              jax.tree_util.tree_leaves(bs_b)):
+                np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                           rtol=1e-4, atol=1e-6)
+        for pa, pb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            # recompute may reassociate BN reductions (observed up to ~4e-5
+            # relative through deep BN chains); bound relative to the
+            # gradient's own scale — a genuine math change errs at O(1)
+            np.testing.assert_allclose(
+                np.asarray(pa), np.asarray(pb), atol=1e-5 +
+                1e-4 * float(np.abs(np.asarray(pa)).max()))

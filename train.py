@@ -58,6 +58,7 @@ def build_config(args) -> "FedFRConfig":
     # Namespaces predating these flags
     cfg.model.freeze_bn = getattr(args, "freeze_bn", False)
     cfg.model.dropout = getattr(args, "dropout", 0.0)
+    cfg.model.remat_blocks = getattr(args, "remat", False)
     cfg.model.converter_layers = getattr(args, "converter_layer", 1)
     cfg.runtime.device_cache = getattr(args, "device_cache", False)
     cfg.runtime.client_ckpt_every = getattr(args, "client_ckpt_every", 1)
@@ -312,6 +313,10 @@ if __name__ == "__main__":
                         help="capture an XLA trace of the first round")
     parser.add_argument("--scan_blocks", action="store_true",
                         help="nn.scan repeated backbone blocks (faster compile)")
+    parser.add_argument("--remat", action="store_true",
+                        help="nn.remat residual blocks: recompute activations "
+                             "in backward for O(depth) lower peak memory "
+                             "(lets --lockstep groups fit single-chip HBM)")
     parser.add_argument("--freeze_bn", action="store_true",
                         help="train with BatchNorm in inference mode "
                              "(reference freeze_BN, iresnet.py:140-156)")
