@@ -18,6 +18,7 @@ def main(args):
 
     apply_platform_override()
     from fedfr_tpu.data.datasets import FaceRecordDataset
+    from fedfr_tpu.data.synthetic import is_synth_spec as is_synth_root
     from fedfr_tpu.evalsuite.local_eval import (
         client_query_mask,
         local_11_roc,
@@ -39,8 +40,28 @@ def main(args):
     embed_fn_plain = auto_embed_fn(backbone)
     embed_fn_conv = auto_embed_fn(backbone, bce_module)
 
-    veri = FaceRecordDataset(args.data_dir, prefix="test")
     ids_per_client = args.num_ids // args.num_client
+    # a synth: spec as --data_dir evaluates against the device-synthetic
+    # universe (same string as training): veri = the universe's veri split,
+    # gallery = the clients' own train images — exactly the reference's
+    # gallery semantics (split_FL.py routes the post-veri remainder of each
+    # ID to BOTH the client train rec and local_gallery, split_FL.py:131-154)
+    universe = None
+    if is_synth_root(args.data_dir):
+        from fedfr_tpu.data.synthetic import build_fl_synthetic, parse_synth_spec
+
+        spec = parse_synth_spec(args.data_dir)
+        for key, val in (("clients", args.num_client),
+                         ("ids_per_client", ids_per_client)):
+            if spec[key] != val:
+                raise ValueError(
+                    f"synth spec has {key}={spec[key]} but the CLI flags "
+                    f"imply {key}={val}; they must agree (identity alignment "
+                    "with the trained checkpoints depends on it)")
+        universe = build_fl_synthetic(spec)
+        veri = universe["veri"]
+    else:
+        veri = FaceRecordDataset(args.data_dir, prefix="test")
     log_dir = args.ckpt_path
 
     def embed_with(variables, bce_params):
@@ -87,10 +108,19 @@ def main(args):
         feats, labels = embed_with(variables, None)
         gallery_feats = gallery_labels = None
         if args.task == "1:n":
-            gal = FaceRecordDataset(args.gallery_data_dir, prefix="test")
-            gfeats, glabels = embed_dataset(embed_fn_plain, variables, gal,
-                                            args.batch_size)
-            gallery_feats, gallery_labels = gfeats, glabels
+            if universe is not None:
+                parts = [embed_dataset(embed_fn_plain, variables, d,
+                                       args.batch_size)
+                         for d in universe["clients"]]
+                gallery_feats = np.concatenate([p[0] for p in parts])
+                gallery_labels = np.concatenate(
+                    [p[1] + d.id_base
+                     for p, d in zip(parts, universe["clients"])])
+            else:
+                gal = FaceRecordDataset(args.gallery_data_dir, prefix="test")
+                gfeats, glabels = embed_dataset(embed_fn_plain, variables, gal,
+                                                args.batch_size)
+                gallery_feats, gallery_labels = gfeats, glabels
         gallery_means = None
         if args.task == "1:n":  # loop-invariant: compute once, slice per client
             gallery_means = class_mean_features(gallery_feats, gallery_labels,
@@ -107,7 +137,7 @@ def main(args):
                 results.append(res)
     else:  # multi
         gal = None
-        if args.task == "1:n":
+        if args.task == "1:n" and universe is None:
             gal = FaceRecordDataset(args.gallery_data_dir, prefix="test")
             gal_labels_all = gal.all_labels()
         for c in range(args.num_client):
@@ -119,8 +149,15 @@ def main(args):
                 tables.append(local_11_roc(feats, labels, start, end,
                                            epoch=args.epoch, output_dir=log_dir))
             else:
-                keep = (gal_labels_all >= start) & (gal_labels_all < end)
-                sub = gal.subset(np.nonzero(keep)[0] + 1)
+                if universe is not None:
+                    # client c's train images ARE its gallery (labels
+                    # already local 0..ids_per_client-1)
+                    sub = universe["clients"][c]
+                    gal_base = 0
+                else:
+                    keep = (gal_labels_all >= start) & (gal_labels_all < end)
+                    sub = gal.subset(np.nonzero(keep)[0] + 1)
+                    gal_base = start  # rec gallery labels are global
                 if bce_params is not None:
                     gfeats, glabels = embed_dataset(embed_fn_conv, variables, sub,
                                                     args.batch_size,
@@ -128,7 +165,8 @@ def main(args):
                 else:
                     gfeats, glabels = embed_dataset(embed_fn_plain, variables, sub,
                                                     args.batch_size)
-                cg = class_mean_features(gfeats, glabels - start, ids_per_client)
+                cg = class_mean_features(gfeats, glabels - gal_base,
+                                         ids_per_client)
                 mask = client_query_mask(labels, start, end)
                 res, fars = open_set_identification(feats, cg, mask)
                 results.append(res)

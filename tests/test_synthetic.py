@@ -277,15 +277,45 @@ def test_train_cli_synth_root(tmp_path):
     train_cli.main(args)
     assert os.path.exists(os.path.join(out, "training.log"))
     assert os.path.exists(os.path.join(out, "rounds", "round_1.meta.json"))
-    # client artifacts gated off
-    assert not os.path.exists(os.path.join(out, "clients", "client_0",
+    # client artifacts gated off per-round, but training COMPLETED
+    # (total_round reached) so the final per-client checkpoints were written
+    # once — the post-training local_all --backbone multi contract
+    # (reference README.md:20-34)
+    for c in range(3):
+        assert os.path.exists(os.path.join(out, "clients", f"client_{c}",
                                            "backbone.npz"))
+        assert any(os.path.exists(os.path.join(
+            out, "clients", f"client_{c}", f"bce_module{ext}"))
+            for ext in (".pth", ".npz"))
     # local verification ran against the synthetic veri split
     found = any(
         os.path.exists(os.path.join(out, "clients", f"client_{c}",
                                     "local_log.txt"))
         for c in range(3))
     assert found
+
+    # the composed post-training eval flow in synth mode: local_all multi
+    # 1:1 AND 1:n straight off the synth spec (veri = universe veri split,
+    # gallery = each client's own train images)
+    import local_all
+
+    ns = argparse.Namespace(
+        backbone="multi", task="1:1", ckpt_path=str(out), data_dir=SPEC,
+        gallery_data_dir="", epoch=-1, num_client=3, num_ids=12,
+        embedding_size=16, network="toy", gpu=None, fp16=False,
+        batch_size=16, fp32=False)
+    local_all.main(ns)
+    log = open(os.path.join(out, "local_log.txt")).read()
+    assert "Mean (-6 to -1):" in log
+    ns.task = "1:n"
+    local_all.main(ns)
+    log = open(os.path.join(out, "local_log.txt")).read()
+    assert "1:n at Epoch : -1" in log
+
+    # spec/flag disagreement is an error, not a silent mis-evaluation
+    ns.num_client = 2
+    with pytest.raises(ValueError, match="clients"):
+        local_all.main(ns)
 
 
 def test_cache_contrastive_round_on_synthetic_matches_recompute(tmp_path):

@@ -249,6 +249,23 @@ def main(args):
         # otherwise die mid-npz and silently drop the newest resume state
         ckpt.wait()
     timer.report(logger)
+    if (not cfg.runtime.client_ckpt_every
+            and server.global_round >= cfg.fed.total_rounds):
+        # At-scale runs disable per-round client artifacts
+        # (--client_ckpt_every 0: 40 x ~200 MB device fetches per round),
+        # but the post-training personalization evals (local_all.py
+        # --backbone multi, reference README.md:20-34) need every client's
+        # backbone+converter — write them once when training completes.
+        n_trained = sum(c.trained_backbone is not None for c in server.clients)
+        if n_trained:
+            logger.info("saving final per-client checkpoints (%d clients)",
+                        n_trained)
+            with timer.span("final_client_ckpt"):
+                server.save_client_checkpoints(cfg.runtime.output_dir)
+        else:
+            logger.warning(
+                "no trained client states in this process (resumed after "
+                "completion?) — final per-client checkpoints not written")
     logger.info("training done")
 
 
