@@ -214,6 +214,15 @@ def main():
                     "over several rounds at the cost of coarser restart "
                     "granularity")
     ap.add_argument("--max_restarts", type=int, default=4)
+    ap.add_argument("--hn_threshold", type=float, default=0.4,
+                    help="hard-negative mining cosine threshold (train.py "
+                    "--HN_threshold).  The reference's 0.4 (config.py:28) is "
+                    "tuned for real MS1M embedding geometry; the hardened "
+                    "synthetic universe (expr/noise knobs) is more compact — "
+                    "at 0.4 mining selects ALL 420k public images and a "
+                    "round balloons ~15x.  Calibrate with "
+                    "experiments/hn_probe.py to the unhardened mined "
+                    "fraction (~27k imgs/client): expr=0.6,noise=25 -> 0.71")
     args = ap.parse_args()
 
     if args.cpu:
@@ -287,6 +296,7 @@ def main():
            "--device_cache", "--client_ckpt_every", "0",
            "--round_ckpt_every", str(args.round_ckpt_every),
            "--round_ckpt_keep", "2",
+           "--HN_threshold", str(args.hn_threshold),
            "--scan_blocks"]
     if args.resume:
         cmd.append("--resume")
