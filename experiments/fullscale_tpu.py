@@ -44,6 +44,34 @@ QUICK_SPEC = ("synth:clients=4,ids_per_client=8,public_ids=60,"
               "public_imgs=4000,veri_ids=32,veri_imgs=8")
 
 
+def sample_pairs(labels, n_pairs: int, rng):
+    """Balanced verification pairs over a label vector.
+
+    Returns ``(picks, issame)``: ``picks`` is a flat ``2*n_pairs`` index
+    list into the dataset, alternating genuine (even p) and impostor
+    (odd p) pairs — the agedb-style .bin layout.  Shared by the synthetic
+    (make_synth_bin) and real-JPEG (realdata_train_tpu.build_data) .bin
+    builders so the 50/50 balance and replace=False semantics can't drift
+    between the two copies."""
+    by_id = {}
+    for i, l in enumerate(labels):
+        by_id.setdefault(int(l), []).append(i)
+    ids = sorted(by_id)
+    picks, issame = [], []
+    for p in range(n_pairs):
+        if p % 2 == 0:
+            pid = ids[rng.integers(len(ids))]
+            a, b = rng.choice(by_id[pid], size=2, replace=False)
+            issame.append(True)
+        else:
+            i1, i2 = rng.choice(len(ids), size=2, replace=False)
+            a = rng.choice(by_id[ids[i1]])
+            b = rng.choice(by_id[ids[i2]])
+            issame.append(False)
+        picks.extend([int(a), int(b)])
+    return picks, issame
+
+
 def make_synth_bin(out_path: str, spec: str, n_pairs: int, image_size: int,
                    seed: int = 100) -> None:
     """AgeDB-style pair .bin from the synthetic universe's veri split (raw
@@ -63,25 +91,8 @@ def make_synth_bin(out_path: str, spec: str, n_pairs: int, image_size: int,
     sp = parse_synth_spec(spec)
     sp["image_size"] = image_size
     veri = build_fl_synthetic(sp)["veri"]
-    labels = veri.all_labels()
-    by_id = {}
-    for i, l in enumerate(labels):
-        by_id.setdefault(int(l), []).append(i)
-    ids = sorted(by_id)
-    rng = np.random.default_rng(seed + 3)
-    picks = []
-    issame = []
-    for p in range(n_pairs):
-        if p % 2 == 0:
-            pid = ids[rng.integers(len(ids))]
-            a, b = rng.choice(by_id[pid], size=2, replace=False)
-            issame.append(True)
-        else:
-            i1, i2 = rng.choice(len(ids), size=2, replace=False)
-            a = rng.choice(by_id[ids[i1]])
-            b = rng.choice(by_id[ids[i2]])
-            issame.append(False)
-        picks.extend([int(a), int(b)])
+    picks, issame = sample_pairs(veri.all_labels(), n_pairs,
+                                 np.random.default_rng(seed + 3))
     # batched device generation, chunked download (<=100 imgs ~ 3.7 MB)
     bins = []
     for s in range(0, len(picks), 100):
@@ -208,7 +219,19 @@ def main():
     ap.add_argument("--stall_timeout", type=float, default=1800,
                     help="watchdog: restart train.py (with --resume) after "
                     "this many seconds of output silence; 0 disables")
-    ap.add_argument("--round_ckpt_every", type=int, default=1,
+    def positive_int(v):
+        # 0 would disable round checkpoints entirely while the stall
+        # watchdog still relaunches with --resume — every restart would
+        # silently start over at round 0, burning max_restarts full-run
+        # attempts.  The harness's losslessness contract requires >= 1.
+        iv = int(v)
+        if iv < 1:
+            raise argparse.ArgumentTypeError(
+                "--round_ckpt_every must be >= 1: the watchdog's "
+                "resume-based restarts need round checkpoints to exist")
+        return iv
+
+    ap.add_argument("--round_ckpt_every", type=positive_int, default=1,
                     help="checkpoint cadence (train.py --round_ckpt_every); "
                     "raise to amortize the ~7.6 GB resume-state device fetch "
                     "over several rounds at the cost of coarser restart "

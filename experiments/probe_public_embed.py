@@ -58,7 +58,11 @@ def main():
     variables = jax.jit(lambda r: backbone.init(
         r, jnp.zeros((args.batch_size, 112, 112, 3), jnp.float32),
         train=False))(rng)
-    jax.block_until_ready(variables)
+    # completion barrier: device_get of one element — block_until_ready is
+    # not reliable on this transport (CLAUDE.md), and this probe exists to
+    # attribute time between phases
+    np.asarray(jax.device_get(
+        jax.tree_util.tree_leaves(variables)[0].ravel()[:1]))
     print(f"B init: {time.time()-t0:.1f}s", flush=True)
 
     embed_fn = make_embed_fn(backbone)

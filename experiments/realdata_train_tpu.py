@@ -97,24 +97,11 @@ def build_data(root: str, *, n_clients: int, ids_per_client: int,
 
     veri = FaceRecordDataset(os.path.join(out, "local_veri_%d" % n_fl),
                              prefix="test")
-    lbls = veri.all_labels()
-    by_id = {}
-    for i, l in enumerate(lbls):
-        by_id.setdefault(int(l), []).append(i)
-    ids = sorted(by_id)
-    prng = np.random.default_rng(seed + 7)
-    bins, issame = [], []
-    for p in range(400):
-        if p % 2 == 0:
-            pid = ids[prng.integers(len(ids))]
-            a, b = prng.choice(by_id[pid], size=2, replace=False)
-            issame.append(True)
-        else:
-            i1, i2 = prng.choice(len(ids), size=2, replace=False)
-            a, b = prng.choice(by_id[ids[i1]]), prng.choice(by_id[ids[i2]])
-            issame.append(False)
-        for k in (a, b):
-            bins.append(veri.reader.read_idx(int(veri.imgidx[int(k)]))[1])
+    from fullscale_tpu import sample_pairs
+
+    picks, issame = sample_pairs(veri.all_labels(), 400,
+                                 np.random.default_rng(seed + 7))
+    bins = [veri.reader.read_idx(int(veri.imgidx[k]))[1] for k in picks]
     val = os.path.join(root, "val")
     os.makedirs(val, exist_ok=True)
     with open(os.path.join(val, "agedb_30.bin"), "wb") as f:

@@ -58,6 +58,15 @@ def main(args):
                     f"synth spec has {key}={spec[key]} but the CLI flags "
                     f"imply {key}={val}; they must agree (identity alignment "
                     "with the trained checkpoints depends on it)")
+        if spec["veri_ids"] < args.num_ids:
+            # veri labels span [0, veri_ids); clients whose ID range lies
+            # beyond it would get all-masked queries and silent 0.0 rows
+            # deflating the averaged tables
+            raise ValueError(
+                f"synth spec veri_ids={spec['veri_ids']} does not cover "
+                f"num_ids={args.num_ids}; every client's global ID range "
+                "must appear in the veri split (reference split_FL.py "
+                "routes all FL IDs into local_veri_4000)")
         universe = build_fl_synthetic(spec)
         veri = universe["veri"]
     else:

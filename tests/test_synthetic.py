@@ -317,6 +317,13 @@ def test_train_cli_synth_root(tmp_path):
     with pytest.raises(ValueError, match="clients"):
         local_all.main(ns)
 
+    # a veri split that doesn't cover every client's ID range would produce
+    # all-masked queries and silent 0.0 rows — also an error
+    ns.num_client = 3
+    ns.data_dir = SPEC.replace("veri_ids=12", "veri_ids=8")
+    with pytest.raises(ValueError, match="veri_ids"):
+        local_all.main(ns)
+
 
 def test_cache_contrastive_round_on_synthetic_matches_recompute(tmp_path):
     """fed.cache_contrastive over the device-synthetic data plane (the

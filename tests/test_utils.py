@@ -251,6 +251,40 @@ def _load_fullscale():
     return mod
 
 
+def test_fullscale_sample_pairs():
+    """The shared .bin pair sampler (fullscale_tpu/realdata builders):
+    alternating genuine/impostor, genuine = two distinct images of one ID,
+    impostor = two different IDs, deterministic under a seeded rng."""
+    import numpy as np
+
+    fs = _load_fullscale()
+    labels = np.repeat(np.arange(10), 5)  # 10 ids x 5 imgs
+    picks, issame = fs.sample_pairs(labels, 40, np.random.default_rng(3))
+    assert len(picks) == 80 and len(issame) == 40
+    assert issame == [True, False] * 20
+    for p in range(40):
+        a, b = picks[2 * p], picks[2 * p + 1]
+        if issame[p]:
+            assert labels[a] == labels[b] and a != b
+        else:
+            assert labels[a] != labels[b]
+    picks2, _ = fs.sample_pairs(labels, 40, np.random.default_rng(3))
+    assert picks2 == picks
+
+
+def test_fullscale_rejects_uncheckpointed_restart_config(monkeypatch):
+    """--round_ckpt_every 0 would disable the checkpoints the watchdog's
+    --resume restarts depend on (every restart would start over at round
+    0); the harness must reject it at parse time."""
+    import sys
+
+    fs = _load_fullscale()
+    monkeypatch.setattr(sys, "argv",
+                        ["fullscale_tpu.py", "--round_ckpt_every", "0"])
+    with pytest.raises(SystemExit):
+        fs.main()
+
+
 def test_fullscale_watchdog_kills_silent_subprocess():
     """The harness watchdog raises Stall when the subprocess stops emitting
     output (the rig's tunneled PJRT connection can wedge mid-device-call

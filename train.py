@@ -189,6 +189,7 @@ def main(args):
         trace_dir = os.path.join(cfg.runtime.output_dir, "xla_trace")
         logger.info("profiling first round to %s", trace_dir)
     timer = SpanTimer()
+    mem_peak = 0  # process-local device high-water (telemetry loop below)
     logger.info("=== Start Federated learning ===")
     try:
         while server.global_round < cfg.fed.total_rounds:
@@ -234,8 +235,8 @@ def main(args):
                     in_use = sum(
                         x.nbytes for x in jax.live_arrays()
                         if not devs.isdisjoint(x.devices()))
-                live_peak = max(getattr(main, "_mem_peak", 0), in_use)
-                main._mem_peak = live_peak
+                mem_peak = max(mem_peak, in_use)
+                live_peak = mem_peak
                 logger.info(
                     "memory: device in_use %.0f MB peak %.0f MB | host maxrss %.0f MB",
                     in_use / 1e6,
@@ -249,17 +250,27 @@ def main(args):
         # otherwise die mid-npz and silently drop the newest resume state
         ckpt.wait()
     timer.report(logger)
-    if (not cfg.runtime.client_ckpt_every
-            and server.global_round >= cfg.fed.total_rounds):
-        # At-scale runs disable per-round client artifacts
-        # (--client_ckpt_every 0: 40 x ~200 MB device fetches per round),
-        # but the post-training personalization evals (local_all.py
-        # --backbone multi, reference README.md:20-34) need every client's
-        # backbone+converter — write them once when training completes.
+    cce = cfg.runtime.client_ckpt_every
+    final_round_captured = bool(cce) and (cfg.fed.total_rounds - 1) % cce == 0
+    if server.global_round >= cfg.fed.total_rounds and not final_round_captured:
+        # The per-round cadence (--client_ckpt_every N; 0 disables — at-scale
+        # runs avoid 40 x ~200 MB device fetches per round) did not capture
+        # the FINAL round's client states, but the post-training
+        # personalization evals (local_all.py --backbone multi, reference
+        # README.md:20-34) need every client's backbone+converter — write
+        # them once when training completes.
         n_trained = sum(c.trained_backbone is not None for c in server.clients)
         if n_trained:
             logger.info("saving final per-client checkpoints (%d clients)",
                         n_trained)
+            if n_trained < len(server.clients):
+                missing = [c.cid for c in server.clients
+                           if c.trained_backbone is None]
+                logger.warning(
+                    "clients %s were not trained in this process (resume "
+                    "after restart with partial sampling?) — their final "
+                    "checkpoints are missing and local_all.py --backbone "
+                    "multi will fail for them", missing)
             with timer.span("final_client_ckpt"):
                 server.save_client_checkpoints(cfg.runtime.output_dir)
         else:
