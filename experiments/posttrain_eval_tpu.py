@@ -1,0 +1,278 @@
+"""The reference's complete post-training evaluation ritual, composed.
+
+VERDICT r3 task #2: after `run.sh` finishes, the reference user runs
+`local_all.py --backbone multi` for BOTH personalization tasks (1:1 and
+1:n) over all 40 clients at the 160k-image verification multiplicity, then
+`ijbc_all.py` (both jobs) on the final global checkpoint
+(/root/reference/README.md:20-56, local_all.py:224-454,
+ijbc_all.py:429-628).  This harness drives that exact chain — through the
+REAL CLIs, as subprocesses under the tunnel-stall watchdog — against a
+fullscale run directory (experiments/fullscale_tpu.py output), and
+archives the mean TPR/TPIR tables plus per-phase wall clock.
+
+Generic IJB-C inputs: real IJB-C is not mounted on this rig, so the
+harness synthesizes an IJB-C-shaped benchmark AT PROTOCOL SCALE (469,375
+images, 23,124 templates, 15,658,489 1:1 pairs, 3,531-subject G1/G2
+gallery + 19,593 probe templates — the counts ijbc_all.py's meta files
+carry) from the SAME synthetic-face generator the run trained on, using a
+held-out identity range.  Images land in the alignment cache
+(`IJBC_imgs.npy`) the reference pipeline itself writes and reuses
+(ijbc_all.py:152-155); landmark alignment from loose crops is exercised
+separately (tests/test_ijbc_pipeline.py, experiments/ijbc_scale_tpu.py).
+
+Usage:
+    python experiments/posttrain_eval_tpu.py --run_dir /tmp/fullscale20/run \
+        --spec_extra expr=0.6,noise=25 --ijbc_root /tmp/fullscale20/ijbc
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fullscale_tpu import FULL_SPEC, run  # noqa: E402
+
+# held-out identity range for the synthetic IJB-C subjects: disjoint from
+# FL gids (< clients*ids_per_client), public gids (2^20+), expr distractors
+# ([2^26, 2^30)) and nuisance keys (2^30+)
+IJBC_GID_OFFSET = 1 << 21
+IJBC_DATASET_SEED = 700_001
+
+# IJB-C 1:1 / 1:n protocol scale (the reference meta files' counts)
+N_IMAGES = 469_375
+N_SUBJECTS = 3_531
+N_PROBE_TEMPLATES = 19_593
+N_PAIRS = 15_658_489
+
+
+def build_synth_ijbc_root(root: str, spec: str, *, n_subjects: int,
+                          n_probe_templates: int, n_images: int,
+                          n_pairs: int, seed: int = 100,
+                          batch: int = 512) -> None:
+    """Synthesize an IJB-C-shaped protocol root the production pipeline
+    (evalsuite/ijbc.py::run_ijbc) consumes as-is.
+
+    Layout per subject: ONE gallery template (G1/G2 alternating — the real
+    protocol splits its 3,531 subjects across two galleries) and
+    ~n_probe_templates/n_subjects probe templates; images spread nearly
+    uniformly over templates; medias group up to 4 images inside a
+    template (exercising the media-mean-then-template-sum aggregation).
+    Genuine 1:1 pairs = every probe template vs its subject's gallery
+    template; impostor pairs are uniform probe x other-subject gallery.
+    Images are device-generated from the run's own universe spec at a
+    held-out identity range and written straight into the `IJBC_imgs.npy`
+    alignment cache."""
+    from fedfr_tpu.data.synthetic import SyntheticFaceDataset, parse_synth_spec
+    from fedfr_tpu.utils.transfer import chunked_device_get
+
+    done_marker = os.path.join(root, ".complete")
+    if os.path.exists(done_marker):
+        print(f"ijbc root {root} already built", flush=True)
+        return
+    meta = os.path.join(root, "meta", "IJBC_meta")
+    os.makedirs(meta, exist_ok=True)
+    rng = np.random.default_rng(seed + 11)
+
+    # ---- template structure
+    n_templates = n_subjects + n_probe_templates
+    t_subject = np.empty(n_templates, np.int64)
+    t_subject[:n_subjects] = np.arange(n_subjects)          # gallery
+    t_subject[n_subjects:] = np.arange(n_probe_templates) % n_subjects
+    # images per template: >= 1 each, remainder spread deterministically
+    per_t = np.full(n_templates, n_images // n_templates, np.int64)
+    per_t[: n_images - int(per_t.sum())] += 1
+    assert int(per_t.sum()) == n_images
+    templates = np.repeat(np.arange(n_templates), per_t)
+    subjects = t_subject[templates]
+    # medias: groups of up to 4 images within a template
+    pos_in_t = np.concatenate([np.arange(c) for c in per_t])
+    medias = templates * 1000 + pos_in_t // 4
+
+    # ---- meta files
+    t0 = time.time()
+    names = [f"img_{i}.jpg" for i in range(n_images)]
+    with open(os.path.join(meta, "ijbc_face_tid_mid.txt"), "w") as f:
+        f.writelines(f"{names[i]} {templates[i]} {medias[i]}\n"
+                     for i in range(n_images))
+    # canonical landmarks + faceness ~U(0.9, 1.0) (features are weighted by
+    # these, ijbc_all.py:530-531); never aligned from loose crops here —
+    # the cache npy below is the aligned-image source
+    lmk = "45 60 85 60 65 80 50 100 80 100"
+    faceness = rng.uniform(0.9, 1.0, n_images)
+    with open(os.path.join(meta, "ijbc_name_5pts_score.txt"), "w") as f:
+        f.writelines(f"{names[i]} {lmk} {faceness[i]:.4f}\n"
+                     for i in range(n_images))
+
+    import pandas as pd
+
+    gallery_t = np.arange(n_subjects)
+    probe_t = np.arange(n_subjects, n_templates)
+    n_genuine = n_probe_templates
+    imp_p = probe_t[rng.integers(0, n_probe_templates, n_pairs - n_genuine)]
+    imp_g = rng.integers(0, n_subjects, n_pairs - n_genuine)
+    # impostor: shift away from the probe's own subject (uniform over the
+    # other n_subjects-1 galleries)
+    own = t_subject[imp_p]
+    imp_g = (own + 1 + (imp_g % (n_subjects - 1))) % n_subjects
+    p1 = np.concatenate([probe_t, imp_p])
+    p2 = np.concatenate([t_subject[probe_t], imp_g])  # gallery tid == subject
+    label = np.zeros(n_pairs, np.int64)
+    label[:n_genuine] = 1
+    pd.DataFrame({"a": p1, "b": p2, "c": label}).to_csv(
+        os.path.join(meta, "ijbc_template_pair_label.txt"),
+        sep=" ", header=False, index=False)
+    for name, rows in (("G1", gallery_t[0::2]), ("G2", gallery_t[1::2])):
+        pd.DataFrame({"TEMPLATE_ID": rows,
+                      "SUBJECT_ID": t_subject[rows]}).to_csv(
+            os.path.join(meta, f"ijbc_1N_gallery_{name}.csv"), index=False)
+    pd.DataFrame({"TEMPLATE_ID": probe_t,
+                  "SUBJECT_ID": t_subject[probe_t]}).to_csv(
+        os.path.join(meta, "ijbc_1N_probe_mixed.csv"), index=False)
+    print(f"meta files written in {time.time() - t0:.1f}s", flush=True)
+
+    # ---- images: device-generated at the held-out gid range, downloaded in
+    # tunnel-safe chunks into the alignment-cache npy
+    sp = parse_synth_spec(spec)
+    ds = SyntheticFaceDataset(
+        subjects.astype(np.int32),
+        (IJBC_GID_OFFSET + np.arange(n_subjects)).astype(np.int32),
+        id_base=0, seed=int(sp["seed"]), dataset_seed=IJBC_DATASET_SEED,
+        image_size=int(sp["image_size"]), noise=int(sp["noise"]),
+        block=int(sp.get("block", 4)), expr=float(sp.get("expr", 0.0)),
+        shift_div=int(sp.get("shift_div", 8)))
+    size = int(sp["image_size"])
+    out = np.lib.format.open_memmap(
+        os.path.join(root, "IJBC_imgs.npy"), mode="w+", dtype=np.uint8,
+        shape=(n_images, size, size, 3))
+    t0 = time.time()
+    for s in range(0, n_images, batch):
+        e = min(s + batch, n_images)
+        imgs, _ = ds.device_batch(np.arange(s, e))
+        out[s:e] = chunked_device_get(imgs)
+        if (s // batch) % 50 == 0:
+            el = time.time() - t0
+            print(f"ijbc imgs {e}/{n_images} ({el:.0f}s, "
+                  f"{e / max(el, 1e-9):.0f} imgs/s)", flush=True)
+    out.flush()
+    del out
+    with open(done_marker, "w") as f:
+        f.write("ok\n")
+    print(f"images written in {time.time() - t0:.1f}s", flush=True)
+
+
+def newest_backbone(run_dir: str):
+    """(path, round) of the newest per-round global checkpoint."""
+    cands = []
+    for p in glob.glob(os.path.join(run_dir, "backbone_*.pth")) + \
+            glob.glob(os.path.join(run_dir, "backbone_*.npz")):
+        m = re.search(r"backbone_(\d+)\.(pth|npz)$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        raise FileNotFoundError(f"no backbone_N checkpoint in {run_dir}")
+    r, p = max(cands)
+    return p, r
+
+
+def main():
+    from fedfr_tpu.utils.runtime import apply_platform_override
+
+    apply_platform_override()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run_dir", default="/tmp/fullscale20/run")
+    ap.add_argument("--ijbc_root", default="/tmp/fullscale20/ijbc")
+    ap.add_argument("--spec_extra", default="expr=0.6,noise=25")
+    ap.add_argument("--network", default="sphnet")
+    ap.add_argument("--embedding_size", type=int, default=512)
+    ap.add_argument("--batch_size", type=int, default=256)
+    ap.add_argument("--quick", action="store_true",
+                    help="miniature protocol (smoke only)")
+    ap.add_argument("--skip_ijbc", action="store_true")
+    ap.add_argument("--skip_local", action="store_true")
+    ap.add_argument("--stall_timeout", type=float, default=1800)
+    ap.add_argument("--out", default="experiments/posttrain_summary.json")
+    args = ap.parse_args()
+
+    spec = FULL_SPEC + ("," + args.spec_extra if args.spec_extra else "")
+    summary = {"run_dir": args.run_dir, "spec": spec}
+    ckpt, rnd = newest_backbone(args.run_dir)
+    summary["checkpoint"] = ckpt
+    summary["round"] = rnd
+    print(f"evaluating {ckpt} (round {rnd})", flush=True)
+
+    scale = dict(n_subjects=N_SUBJECTS, n_probe_templates=N_PROBE_TEMPLATES,
+                 n_images=N_IMAGES, n_pairs=N_PAIRS)
+    if args.quick:
+        scale = dict(n_subjects=12, n_probe_templates=36, n_images=600,
+                     n_pairs=2000)
+
+    if not args.skip_ijbc:
+        # build in a subprocess: device generation attaches the TPU, and a
+        # parent holding a live client would contend with the CLI below
+        code = ("import sys; sys.path.insert(0, %r); "
+                "sys.path.insert(0, %r); "
+                "from posttrain_eval_tpu import build_synth_ijbc_root; "
+                "build_synth_ijbc_root(%r, %r, n_subjects=%d, "
+                "n_probe_templates=%d, n_images=%d, n_pairs=%d)" % (
+                    REPO, os.path.join(REPO, "experiments"), args.ijbc_root,
+                    spec, scale["n_subjects"], scale["n_probe_templates"],
+                    scale["n_images"], scale["n_pairs"]))
+        dt = run([sys.executable, "-c", code],
+                 stall_timeout=args.stall_timeout or None)
+        summary["ijbc_build_s"] = round(dt, 1)
+
+        dt = run([sys.executable, "ijbc_all.py",
+                  "--model-prefix", ckpt, "--root-path", args.ijbc_root,
+                  "--result-dir", args.run_dir, "--epoch", str(rnd),
+                  "--network", args.network,
+                  "--embedding_size", str(args.embedding_size),
+                  "--batch-size", str(args.batch_size),
+                  "--job", "both", "--use_flip_test"],
+                 stall_timeout=args.stall_timeout or None)
+        summary["ijbc_both_jobs_s"] = round(dt, 1)
+        for job in ("1:1", "1:n"):
+            log = os.path.join(args.run_dir, f"ijbc-{job}", "log.txt")
+            if os.path.exists(log):
+                summary[f"ijbc_{job}_log_tail"] = open(log).read()[-2000:]
+
+    if not args.skip_local:
+        sp_clients = int(spec_val(spec, "clients"))
+        sp_ids = sp_clients * int(spec_val(spec, "ids_per_client"))
+        for task in ("1:1", "1:n"):
+            dt = run([sys.executable, "local_all.py", "--backbone", "multi",
+                      "--task", task, "--ckpt_path", args.run_dir,
+                      "--data_dir", spec, "--epoch", str(rnd),
+                      "--num_client", str(sp_clients),
+                      "--num_ids", str(sp_ids),
+                      "--network", args.network,
+                      "--embedding_size", str(args.embedding_size),
+                      "--batch_size", "512"],
+                     stall_timeout=args.stall_timeout or None)
+            summary[f"local_{task}_s"] = round(dt, 1)
+        log = os.path.join(args.run_dir, "local_log.txt")
+        if os.path.exists(log):
+            summary["local_log_tail"] = open(log).read()[-4000:]
+
+    print(json.dumps({k: v for k, v in summary.items()
+                      if not k.endswith("_tail")}, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+def spec_val(spec: str, key: str) -> str:
+    from fedfr_tpu.data.synthetic import parse_synth_spec
+
+    return str(parse_synth_spec(spec)[key])
+
+
+if __name__ == "__main__":
+    main()

@@ -28,19 +28,40 @@ logger = logging.getLogger("fedfr_tpu.ijbc")
 
 # --------------------------------------------------------------- meta readers
 
+def _read_int_columns(path: str, usecols, sep: str = r"\s+",
+                      skiprows: int = 0) -> list:
+    """Integer columns of a whitespace/comma table.
+
+    At IJB-C protocol scale the 1:1 pair list is 15.6M lines; pandas' C
+    parser reads it in seconds where np.loadtxt(dtype=str) takes minutes
+    and allocates a multi-GB object array (the reference itself parses
+    these files with pandas, ijbc_all.py:458-493).  Falls back to loadtxt
+    when pandas is unavailable."""
+    try:
+        import pandas as pd
+
+        df = pd.read_csv(path, sep=sep, header=None, skiprows=skiprows,
+                         usecols=list(usecols))
+        return [df[c].to_numpy().astype(int) for c in usecols]
+    except ImportError:
+        arr = np.loadtxt(path, dtype=str, skiprows=skiprows,
+                         delimiter="," if sep == "," else None)
+        return [arr[:, c].astype(int) for c in usecols]
+
+
 def read_template_media_list(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    arr = np.loadtxt(path, dtype=str)
-    return arr[:, 1].astype(int), arr[:, 2].astype(int)
+    t, m = _read_int_columns(path, (1, 2))
+    return t, m
 
 
 def read_template_pair_list(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    arr = np.loadtxt(path, dtype=str)
-    return arr[:, 0].astype(int), arr[:, 1].astype(int), arr[:, 2].astype(int)
+    p1, p2, label = _read_int_columns(path, (0, 1, 2))
+    return p1, p2, label
 
 
 def read_template_subject_id_list(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    arr = np.loadtxt(path, dtype=str, skiprows=1, delimiter=",")
-    return arr[:, 0].astype(int), arr[:, 1].astype(int)
+    t, s = _read_int_columns(path, (0, 1), sep=",", skiprows=1)
+    return t, s
 
 
 def read_image_list(path: str) -> Tuple[List[str], np.ndarray, np.ndarray]:

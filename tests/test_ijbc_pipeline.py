@@ -243,3 +243,44 @@ def test_aggregation_empty_choose_templates():
         jnp.asarray(feats), templates, medias, choose, ids)
     np.testing.assert_array_equal(np.asarray(out_d), out_h)
     np.testing.assert_array_equal(ut_h, ut_d)
+
+
+def test_posttrain_synth_ijbc_root_roundtrip(tmp_path):
+    """The posttrain harness's protocol-scale IJB-C synthesizer
+    (experiments/posttrain_eval_tpu.py::build_synth_ijbc_root) at miniature
+    counts: the generated meta files + IJBC_imgs.npy cache must drive
+    run_ijbc end-to-end (both jobs), and the genuine/impostor pair labels
+    must separate under a real embedding (distinct block identities)."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "posttrain_eval_tpu",
+        os.path.join(repo, "experiments", "posttrain_eval_tpu.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    root = str(tmp_path / "ijbc")
+    synth = ("synth:clients=2,ids_per_client=2,public_ids=4,public_imgs=20,"
+             "veri_ids=4,veri_imgs=2,image_size=32,block=8,noise=5")
+    mod.build_synth_ijbc_root(root, synth, n_subjects=6,
+                              n_probe_templates=18, n_images=300,
+                              n_pairs=600)
+    assert os.path.exists(os.path.join(root, ".complete"))
+    # idempotent re-entry
+    mod.build_synth_ijbc_root(root, synth, n_subjects=6,
+                              n_probe_templates=18, n_images=300,
+                              n_pairs=600)
+
+    backbone = build_backbone("toy", 32)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 3)), train=False)
+    embed_fn = auto_embed_fn(backbone)
+    results = run_ijbc(embed_fn, variables, root, str(tmp_path / "res"),
+                       epoch=0, job="both", batch_size=32)
+    assert len(results["tpr_at_fpr"]) == 6
+    assert set(results["rank"]) == {"top1", "top5", "top10"}
+    # block identities are visually distinct (noise=5) -> even a
+    # random-projection toy embedding ranks own-gallery well above the
+    # 1/6 chance level
+    assert results["rank"]["top1"] > 0.4
