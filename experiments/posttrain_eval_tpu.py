@@ -191,6 +191,10 @@ def main():
     ap.add_argument("--run_dir", default="/tmp/fullscale20/run")
     ap.add_argument("--ijbc_root", default="/tmp/fullscale20/ijbc")
     ap.add_argument("--spec_extra", default="expr=0.6,noise=25")
+    ap.add_argument("--spec", default="",
+                    help="full synth spec override (default: the fullscale "
+                    "workload spec + --spec_extra); must match the spec the "
+                    "run_dir was trained on")
     ap.add_argument("--network", default="sphnet")
     ap.add_argument("--embedding_size", type=int, default=512)
     ap.add_argument("--batch_size", type=int, default=256)
@@ -202,7 +206,8 @@ def main():
     ap.add_argument("--out", default="experiments/posttrain_summary.json")
     args = ap.parse_args()
 
-    spec = FULL_SPEC + ("," + args.spec_extra if args.spec_extra else "")
+    spec = args.spec or (
+        FULL_SPEC + ("," + args.spec_extra if args.spec_extra else ""))
     summary = {"run_dir": args.run_dir, "spec": spec}
     ckpt, rnd = newest_backbone(args.run_dir)
     summary["checkpoint"] = ckpt
@@ -248,9 +253,13 @@ def main():
         sp_clients = int(spec_val(spec, "clients"))
         sp_ids = sp_clients * int(spec_val(spec, "ids_per_client"))
         for task in ("1:1", "1:n"):
+            # epoch -1 = the FINAL per-client artifacts (backbone.npz +
+            # bce_module.*, written once at training completion); the
+            # round-stamped names are per-round client snapshots that
+            # at-scale runs disable
             dt = run([sys.executable, "local_all.py", "--backbone", "multi",
                       "--task", task, "--ckpt_path", args.run_dir,
-                      "--data_dir", spec, "--epoch", str(rnd),
+                      "--data_dir", spec, "--epoch", "-1",
                       "--num_client", str(sp_clients),
                       "--num_ids", str(sp_ids),
                       "--network", args.network,
