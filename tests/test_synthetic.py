@@ -325,6 +325,44 @@ def test_train_cli_synth_root(tmp_path):
         local_all.main(ns)
 
 
+def test_final_client_ckpt_cadence(tmp_path):
+    """The end-of-training per-client checkpoint write fires exactly when
+    the per-round cadence (--client_ckpt_every N) did NOT capture the final
+    round — not only when the cadence is 0 (review r4): cadence 2 over 2
+    rounds saves at round 0 and must re-save at completion; cadence 1 over
+    1 round already captured the final state and must not duplicate."""
+    import train as train_cli
+
+    def run(out, total_round, cce):
+        args = argparse.Namespace(
+            network="toy", loss="CosFace", output_dir=str(out),
+            batch_size=8, local_epoch=1, total_round=total_round,
+            num_client=3, num_ids=12, client_sampled_ratio=1.0,
+            pretrained_root="", lr=0.01, aggr_alg="FedAvg", spreadout=False,
+            init_fc=True, add_pretrained_data=True, contrastive_bb=False,
+            return_all=True, combine_dataset=True, BCE_local=False,
+            BCE_detach=False, adaptive_local_epoch=False,
+            reweight_cosface=False, hn_strategy="feature", HN_threshold=0.4,
+            rec_root=SPEC, val_root="", local_rec="",
+            val_targets="", num_workers=0, seed=100,
+            embedding_size=16, image_size=16, resume=False, profile=False,
+            scan_blocks=False, com_batch_size=8, public_batch_size=16,
+            eval_batch_size=16, device_cache=True, client_ckpt_every=cce,
+            round_ckpt_every=1, freeze_bn=False)
+        train_cli.main(args)
+        return open(os.path.join(out, "training.log")).read()
+
+    log = run(tmp_path / "missed", total_round=2, cce=2)
+    assert "saving final per-client checkpoints" in log
+    assert os.path.exists(os.path.join(tmp_path / "missed", "clients",
+                                       "client_0", "backbone.npz"))
+    log = run(tmp_path / "captured", total_round=1, cce=1)
+    assert "saving final per-client checkpoints" not in log
+    # the cadence itself wrote them
+    assert os.path.exists(os.path.join(tmp_path / "captured", "clients",
+                                       "client_0", "backbone.npz"))
+
+
 def test_cache_contrastive_round_on_synthetic_matches_recompute(tmp_path):
     """fed.cache_contrastive over the device-synthetic data plane (the
     at-scale harness configuration: synth rec_root + device_cache) tracks
