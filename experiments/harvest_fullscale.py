@@ -2,11 +2,16 @@
 
 Works mid-run (round 1 partially complete) or post-run; complements the
 harness's end-of-run summary.json by deriving the per-client and per-epoch
-distributions the DESIGN.md writeup quotes:
+distributions plus the per-round trajectory table the DESIGN.md writeup
+quotes:
 
-    python experiments/harvest_fullscale.py /tmp/fullscale/run/training.log
+    python experiments/harvest_fullscale.py --run_dir /tmp/fullscale20/run \
+        --out experiments/fullscale20_summary.json
+
+(a bare positional training.log path still works and prints to stdout)
 """
 
+import argparse
 import json
 import os
 import re
@@ -25,7 +30,18 @@ def ts(s):
     return datetime.strptime(s, STAMP).timestamp()
 
 
-def main(path):
+def round_slices(text):
+    """[(round, start_pos, end_pos)] — end at the next round marker or the
+    owning process's end."""
+    marks = [(m.start(), int(m.group(1))) for m in re.finditer(
+        r"====== Round (\d+) ======", text)]
+    out = []
+    for (pos, r), nxt in zip(marks, [m[0] for m in marks[1:]] + [len(text)]):
+        out.append((r, pos, nxt))
+    return out
+
+
+def harvest(path):
     text = open(path).read()
     out = {}
 
@@ -86,9 +102,72 @@ def main(path):
         r"avg client loss ([0-9.\-naif]+)", text)]
     out["agedb_acc"] = [float(m.group(1)) for m in re.finditer(
         r"Accuracy-Flip: ([0-9.]+)", text)]
+
+    # per-round trajectory: local-epoch schedule (adaptive decay, reference
+    # server.py:278-280), mined sizes, loss, accuracy — keyed to the round's
+    # own log slice so resumed/partial rounds stay aligned
+    rounds = {}
+    for r, a, b in round_slices(text):
+        seg = text[a:b]
+        row = rounds.setdefault(r, {})
+        eps = [int(m.group(1)) for m in
+               re.finditer(r"epoch \d+/(\d+) ", seg)]
+        if eps:
+            row["local_epoch"] = max(eps)
+        m = [int(x.group(1)) for x in
+             re.finditer(r"(\d+) imgs \(\d+ IDs\) hard negative", seg)]
+        if m:
+            row["mined_mean"] = int(np.mean(m))
+        loss = re.search(r"avg client loss ([0-9.\-naif]+)", seg)
+        if loss:
+            row["avg_loss"] = float(loss.group(1))
+        acc = re.search(r"Accuracy-Flip: ([0-9.]+)", seg)
+        if acc:
+            row["agedb_acc"] = float(acc.group(1))
+        if r in out["round_wall_s"]:
+            row["wall_s"] = out["round_wall_s"][r]
+    out["rounds"] = rounds
+    return out
+
+
+def trajectory_md(out):
+    """DESIGN.md-ready markdown table of the per-round trajectory."""
+    lines = ["| round | wall | epochs | mined/client | avg loss | agedb acc |",
+             "|---|---|---|---|---|---|"]
+    for r in sorted(out.get("rounds", {}), key=int):
+        row = out["rounds"][r]
+        wall = row.get("wall_s")
+        wall = f"{wall / 60:.1f} min" if wall else "—"
+        lines.append(
+            f"| {r} | {wall} | {row.get('local_epoch', '—')} "
+            f"| {row.get('mined_mean', '—')} "
+            f"| {row.get('avg_loss', '—')} | {row.get('agedb_acc', '—')} |")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    if isinstance(argv, str):  # legacy: main("<training.log path>")
+        argv = [argv]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("log", nargs="?", default=None,
+                    help="training.log path (legacy positional)")
+    ap.add_argument("--run_dir", default="",
+                    help="run directory containing training.log")
+    ap.add_argument("--out", default="", help="write the summary JSON here")
+    ap.add_argument("--md", action="store_true",
+                    help="also print the per-round trajectory as markdown")
+    args = ap.parse_args(argv)
+    path = args.log or (os.path.join(args.run_dir, "training.log")
+                        if args.run_dir else "/tmp/fullscale/run/training.log")
+    out = harvest(path)
     print(json.dumps(out, indent=2))
+    if args.md:
+        print(trajectory_md(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    return out
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else
-         "/tmp/fullscale/run/training.log")
+    main()
