@@ -116,7 +116,55 @@ RUN_ENV = dict(os.environ)
 
 
 class Stall(RuntimeError):
-    """The subprocess produced no output for stall_timeout seconds."""
+    """The subprocess produced no output for stall_timeout seconds, or its
+    training throughput collapsed (see run()'s degradation trigger)."""
+
+
+# throughput-degradation trigger: consecutive samples/sec readings below
+# this fraction of the run's median (with at least MIN_SAMPLES of history)
+# count as a stall.  Observed failure mode (2026-08-19, round-0 launch):
+# the tunnel degraded to 247 samples/s — 13x below the 3,236 steady state —
+# for a 29-minute epoch WITHOUT ever going silent, so the silence watchdog
+# never fired.  A kill+--resume restart costs ~20 min; a persistent 13x
+# slowdown costs ~26 min per 2-minute epoch, so restarting wins after the
+# second slow reading.  Warmup epochs legitimately read ~50% of median
+# (compile amortization) — far above the 20% trip point.
+DEGRADED_FRACTION = 0.2
+DEGRADED_CONSECUTIVE = 2
+DEGRADED_MIN_SAMPLES = 10
+
+
+class _ThroughputMonitor:
+    """Tracks 'X samples/sec' readings from the output stream and flags a
+    persistent collapse."""
+
+    def __init__(self, fraction=DEGRADED_FRACTION,
+                 consecutive=DEGRADED_CONSECUTIVE,
+                 min_samples=DEGRADED_MIN_SAMPLES):
+        self.fraction = fraction
+        self.consecutive = consecutive
+        self.min_samples = min_samples
+        self.history = []
+        self.slow_streak = 0
+        self.tripped = False
+
+    def feed(self, line: str) -> None:
+        m = re.search(r"([0-9.]+) samples/sec", line)
+        if not m:
+            return
+        v = float(m.group(1))
+        if len(self.history) >= self.min_samples:
+            median = float(np.median(self.history))
+            if v < self.fraction * median:
+                self.slow_streak += 1
+                if self.slow_streak >= self.consecutive:
+                    self.tripped = True
+            else:
+                self.slow_streak = 0
+        # a degraded reading still joins the history: if the NEW rate is the
+        # true steady state (e.g. a legitimately bigger workload), the median
+        # converges to it and the monitor stops tripping after a restart
+        self.history.append(v)
 
 
 def run(cmd, log_path=None, stall_timeout=None):
@@ -126,35 +174,46 @@ def run(cmd, log_path=None, stall_timeout=None):
     executes fine), and a wedged call never returns — output silence is the
     only detectable symptom.  Legit silent windows on this rig are bounded
     by the round-checkpoint fetch (~20 min), so the default timeout in
-    main() stays above that."""
+    main() stays above that.  The same watchdog also kills on a NON-silent
+    throughput collapse (_ThroughputMonitor): the tunnel has been observed
+    degrading 13x while still emitting output."""
     print("+", " ".join(cmd), flush=True)
     t0 = time.time()
-    stalled = False
+    stalled = None
     with open(log_path, "a") if log_path else open(os.devnull, "w") as sink:
         p = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True, env=RUN_ENV)
         last = [time.time()]
+        mon = _ThroughputMonitor()
 
         def pump():
             for line in p.stdout:
                 print(line, end="", flush=True)
                 sink.write(line)
                 last[0] = time.time()
+                if stall_timeout:
+                    mon.feed(line)
 
         t = threading.Thread(target=pump, daemon=True)
         t.start()
         poll = min(15.0, stall_timeout / 2) if stall_timeout else 15.0
         while t.is_alive():
             t.join(timeout=poll)
-            if (stall_timeout and t.is_alive()
-                    and time.time() - last[0] > stall_timeout):
-                stalled = True
+            if not (stall_timeout and t.is_alive()):
+                continue
+            if time.time() - last[0] > stall_timeout:
+                stalled = f"no output for {stall_timeout:.0f}s"
+            elif mon.tripped:
+                stalled = (f"throughput collapsed: last readings "
+                           f"{mon.history[-mon.consecutive:]} vs median "
+                           f"{float(np.median(mon.history)):.0f} samples/sec")
+            if stalled:
                 p.kill()  # closes the pipe -> pump exits
                 break
         t.join()
         p.wait()
     if stalled:
-        raise Stall(f"{cmd[0]} {cmd[1]}: no output for {stall_timeout:.0f}s")
+        raise Stall(f"{cmd[0]} {cmd[1]}: {stalled}")
     if p.returncode != 0:
         raise RuntimeError(f"{cmd[0]} {cmd[1]} failed rc={p.returncode}")
     return time.time() - t0

@@ -285,6 +285,49 @@ def test_fullscale_rejects_uncheckpointed_restart_config(monkeypatch):
         fs.main()
 
 
+def test_throughput_monitor_trips_on_collapse():
+    """The non-silent degradation trigger (observed: the tunnel degraded
+    13x while still emitting output, so the silence watchdog never fired):
+    trips only after min_samples of history and consecutive slow readings;
+    warmup-grade readings (~50% of median) never trip."""
+    fs = _load_fullscale()
+    mon = fs._ThroughputMonitor()
+    for _ in range(12):
+        mon.feed("client 0 epoch 1/10 ... 3200.0 samples/sec")
+    mon.feed("client 0 epoch 2/10 ... 1600.0 samples/sec")  # warmup-grade
+    assert not mon.tripped
+    mon.feed("client 0 epoch 3/10 ... 247.0 samples/sec")
+    assert not mon.tripped  # one slow reading could be a blip
+    mon.feed("client 0 epoch 4/10 ... 251.0 samples/sec")
+    assert mon.tripped
+
+    # too little history: never trips (cold-start readings are noisy)
+    mon2 = fs._ThroughputMonitor()
+    for _ in range(3):
+        mon2.feed("... 3200.0 samples/sec")
+    mon2.feed("... 10.0 samples/sec")
+    mon2.feed("... 10.0 samples/sec")
+    assert not mon2.tripped
+
+
+def test_fullscale_watchdog_kills_degraded_subprocess():
+    """run() kills + raises Stall when throughput collapses without output
+    silence."""
+    import sys
+
+    fs = _load_fullscale()
+    prog = (
+        "import time\n"
+        "for i in range(12):\n"
+        "    print(f'epoch {i} ... 100.0 samples/sec', flush=True)\n"
+        "for i in range(2):\n"
+        "    print(f'epoch {12+i} ... 5.0 samples/sec', flush=True)\n"
+        "    time.sleep(1)\n"
+        "time.sleep(120)\n")
+    with pytest.raises(fs.Stall, match="throughput collapsed"):
+        fs.run([sys.executable, "-c", prog], stall_timeout=8.0)
+
+
 def test_fullscale_watchdog_kills_silent_subprocess():
     """The harness watchdog raises Stall when the subprocess stops emitting
     output (the rig's tunneled PJRT connection can wedge mid-device-call
