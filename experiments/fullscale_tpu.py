@@ -266,6 +266,11 @@ def main():
                     "next round (train.py --round_ckpt_async); cuts the "
                     "per-round critical-path checkpoint cost to the device "
                     "fetch alone")
+    ap.add_argument("--ckpt_bg_fetch", action="store_true",
+                    help="also overlap the device->host checkpoint fetch "
+                    "with the next round (train.py --round_ckpt_bg_fetch); "
+                    "on this rig the fetch is ~19 min of tunnel time per "
+                    "round that otherwise blocks the round loop")
     ap.add_argument("--cache_contrastive", action="store_true",
                     help="enable the per-round frozen-MOON feature cache "
                     "(train.py --cache_contrastive)")
@@ -386,6 +391,8 @@ def main():
         cmd.append("--cache_contrastive")
     if args.ckpt_async:
         cmd.append("--round_ckpt_async")
+    if args.ckpt_bg_fetch:
+        cmd.append("--round_ckpt_bg_fetch")
     if args.lockstep > 1:
         cmd += ["--lockstep", str(args.lockstep)]
     # watchdog + auto-resume: a wedged tunnel call or a crash loses at most

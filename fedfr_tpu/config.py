@@ -154,6 +154,10 @@ class RuntimeConfig:
     round_ckpt_async: bool = False      # overlap resume-state npz writes
                                         # with the next round (fetch stays
                                         # synchronous)
+    round_ckpt_bg_fetch: bool = False   # also move the device->host fetch
+                                        # into the writer thread (snapshots
+                                        # immutable device refs; implies
+                                        # round_ckpt_async)
 
 
 @dataclass

@@ -101,44 +101,86 @@ class RoundCheckpointer:
 
     ``async_write`` overlaps the npz serialization (zlib-compressing a
     reference-scale state is minutes of single-core work) with the next
-    round: ``save`` still fetches device state synchronously — the values
-    mutate as soon as the next round starts — then hands the host copy to a
-    writer thread.  At most one write is outstanding; writer errors surface
-    on the next ``save``/``restore``/``wait``.  The meta.json is written
-    after the npz completes, so a crash mid-write never leaves a round that
-    ``restore`` would pick up.
+    round: ``save`` still fetches device state synchronously — then hands
+    the host copy to a writer thread.  At most one write is outstanding;
+    writer errors surface on the next ``save``/``restore``/``wait``.  The
+    meta.json is written after the npz completes, so a crash mid-write never
+    leaves a round that ``restore`` would pick up.
+
+    ``bg_fetch`` additionally moves the device->host fetch itself into the
+    writer thread: ``save`` snapshots *references* to the device buffers
+    (jax arrays are immutable — the next round replaces the server's
+    attributes with new arrays, it never mutates the old buffers) and copies
+    host-side leaves, then returns immediately.  The thread fetches leaves
+    in tree order (global state first, then clients in training order) and
+    drops each device reference as soon as its host copy lands, so the
+    pinned extra HBM decays over the fetch instead of holding a full second
+    round-state.  On the dev rig this overlaps the ~19 min tunnel-bound
+    fetch of a reference-scale state with the next round's compute (the
+    fetch is off the training dispatch path — transfers ride the relay
+    while the chip computes).  A kill mid-fetch leaves a truncated npz with
+    no meta.json, which ``restore`` ignores and ``_prune`` sweeps — the same
+    guarantee as a kill mid-write.
     """
 
     def __init__(self, directory: str, keep: int = 0,
-                 async_write: bool = False):
+                 async_write: bool = False, bg_fetch: bool = False):
         self.directory = directory
         self.keep = keep
-        self.async_write = async_write
+        self.async_write = async_write or bg_fetch
+        self.bg_fetch = bg_fetch
         self.last_extra: dict = {}
         self._writer = None
         self._write_err: Optional[BaseException] = None
         os.makedirs(directory, exist_ok=True)
 
-    def save(self, server, extra: Optional[dict] = None) -> str:
+    @staticmethod
+    def _snapshot(tree):
+        """Self-contained snapshot: device arrays by reference (immutable),
+        anything host-side copied so later in-place edits can't alias in."""
+        import jax
+
+        def snap(leaf):
+            if isinstance(leaf, jax.Array):
+                return leaf
+            return np.array(leaf)
+
+        return jax.tree_util.tree_map(snap, tree)
+
+    @staticmethod
+    def _fetch_releasing(box: list) -> Any:
+        """Fetch ``box[0]`` (a pytree snapshot) to host numpy, releasing each
+        device reference as soon as its host copy lands.  ``box`` is a
+        1-element list so the caller's reference can be dropped too."""
+        import jax
+
         from .transfer import chunked_device_get
 
+        leaves, treedef = jax.tree_util.tree_flatten(box.pop())
+        out = []
+        for i in range(len(leaves)):
+            out.append(chunked_device_get(leaves[i]))
+            leaves[i] = None
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def save(self, server, extra: Optional[dict] = None) -> str:
         # join the previous write BEFORE fetching a new host copy: otherwise
         # two full states (~GBs at reference scale) are resident at once
         self.wait()
-        state = {
-            "federated": chunked_device_get(server.federated_vars),
-            "pretrained_fc": np.asarray(server.pretrained_fc)
+        state = self._snapshot({
+            "federated": server.federated_vars,
+            "pretrained_fc": server.pretrained_fc
             if server.pretrained_fc is not None else np.zeros(0),
             "clients": {
                 f"c{c.cid}": {
-                    "fc_local": np.asarray(c.fc_local),
-                    **({"bce": chunked_device_get(c.bce_vars)} if c.bce_vars else {}),
-                    **({"last": chunked_device_get(c.last_backbone)}
+                    "fc_local": c.fc_local,
+                    **({"bce": c.bce_vars} if c.bce_vars else {}),
+                    **({"last": c.last_backbone}
                        if c.last_backbone is not None else {}),
                 }
                 for c in server.clients
             },
-        }
+        })
         path = os.path.join(self.directory, f"round_{server.global_round}")
         meta = {"global_round": server.global_round,
                 "global_epoch": server.global_epoch,
@@ -148,21 +190,26 @@ class RoundCheckpointer:
                 # client_sampled_ratio < 1 repeats the fresh-run draws
                 "rng_state": server.rng.bit_generator.state,
                 "extra": extra or {}}
+        if not self.bg_fetch:
+            state = self._fetch_releasing([state])
         if self.async_write:
             import threading
 
             self._writer = threading.Thread(
-                target=self._write, args=(state, path, meta),
+                target=self._write, args=([state], path, meta),
                 name=f"round-ckpt-write-{server.global_round}", daemon=True)
+            state = None  # the writer box holds the only reference now
             self._writer.start()
         else:
-            self._write(state, path, meta)
+            self._write([state], path, meta)
             self.wait()  # surface the error in the caller, not later
         return path + ".npz"
 
-    def _write(self, state, path: str, meta: dict) -> None:
+    def _write(self, box: list, path: str, meta: dict) -> None:
         try:
-            save_native(state, path)
+            if self.bg_fetch:
+                box = [self._fetch_releasing(box)]
+            save_native(box.pop(), path)
             with open(path + ".meta.json", "w") as f:
                 json.dump(meta, f)
             self._prune()

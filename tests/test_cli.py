@@ -188,6 +188,28 @@ def test_train_cli_resume(pipeline_root, tmp_path):
     assert "extra" in meta and "best" in meta["extra"]
 
 
+def test_train_cli_bg_fetch_checkpoint_equivalence(pipeline_root, tmp_path):
+    """--round_ckpt_bg_fetch moves the checkpoint device-fetch into the
+    writer thread: round 1's state is fetched WHILE round 2 trains and
+    replaces the live arrays.  The snapshot semantics must make the saved
+    bytes identical to a synchronous-save run of the same seed."""
+    import train as train_cli
+
+    sync_dir = tmp_path / "sync"
+    bg_dir = tmp_path / "bg"
+    train_cli.main(_train_args(pipeline_root, sync_dir, total_round=2))
+    a = _train_args(pipeline_root, bg_dir, total_round=2)
+    a.round_ckpt_bg_fetch = True
+    train_cli.main(a)
+
+    for rnd in (1, 2):
+        s = np.load(os.path.join(sync_dir, "rounds", f"round_{rnd}.npz"))
+        b = np.load(os.path.join(bg_dir, "rounds", f"round_{rnd}.npz"))
+        assert sorted(s.files) == sorted(b.files)
+        for k in s.files:
+            np.testing.assert_array_equal(s[k], b[k], err_msg=f"r{rnd}:{k}")
+
+
 def test_train_cli_resume_cached_contrastive(pipeline_root, tmp_path):
     """The stall watchdog's recovery path (experiments/fullscale_tpu.py): a
     FRESH process resumes a --cache_contrastive run from its round

@@ -183,6 +183,100 @@ def test_round_checkpointer_async_write(tmp_path, monkeypatch):
         ckpt.wait()
 
 
+def test_round_checkpointer_bg_fetch(tmp_path):
+    """bg_fetch snapshots device references + host copies at save() time and
+    returns before fetching: values the next round REPLACES (device arrays)
+    or mutates in place (host arrays) after save() must not leak into the
+    checkpoint, and restore() sees the completed state after wait()."""
+    import jax.numpy as jnp
+
+    from fedfr_tpu.utils.checkpoint import RoundCheckpointer
+
+    class _Client:
+        def __init__(self, cid):
+            self.cid = cid
+            self.fc_local = np.full((2, 4), float(cid), np.float32)
+            self.bce_vars = {"params": {"weight": jnp.full((3,), 7.0)}}
+            self.last_backbone = {"params": jnp.arange(5, dtype=jnp.float32)}
+
+    class _Server:
+        def __init__(self):
+            # device leaf large enough to exercise the chunked slice path
+            self.federated_vars = {"w": jnp.arange(4096, dtype=jnp.float32)}
+            self.pretrained_fc = None
+            self.clients = [_Client(0), _Client(1)]
+            self.global_round = 3
+            self.global_epoch = 0
+            self.local_epoch = 6
+            self.train_decay = 1
+            self.rng = np.random.default_rng(100)
+
+    srv = _Server()
+    ckpt = RoundCheckpointer(str(tmp_path), keep=2, bg_fetch=True)
+    assert ckpt.async_write  # bg_fetch implies the writer thread
+    ckpt.save(srv, extra={"best": [[0.9]]})
+    # the next round replaces device state and mutates host state in place
+    srv.federated_vars = {"w": jnp.zeros(4096, dtype=jnp.float32)}
+    srv.clients[0].fc_local[:] = -1.0
+    ckpt.wait()
+
+    fresh = _Server()
+    fresh.clients[0].fc_local[:] = 0.0
+    restorer = RoundCheckpointer(str(tmp_path))
+    assert restorer.restore(fresh) == 3
+    np.testing.assert_array_equal(fresh.federated_vars["w"],
+                                  np.arange(4096, dtype=np.float32))
+    np.testing.assert_array_equal(fresh.clients[0].fc_local,
+                                  np.full((2, 4), 0.0, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(fresh.clients[1].last_backbone["params"]),
+        np.arange(5, dtype=np.float32))
+    assert restorer.last_extra == {"best": [[0.9]]}
+    assert fresh.local_epoch == 6 and fresh.train_decay == 1
+
+
+def test_round_checkpointer_bg_fetch_chunk_equivalence(tmp_path):
+    """The bg-fetch thread's chunked fetch reassembles multi-chunk leaves
+    exactly (chunk_bytes boundary arithmetic is the risky part)."""
+    import jax.numpy as jnp
+
+    from fedfr_tpu.utils.checkpoint import RoundCheckpointer
+
+    rng = np.random.default_rng(7)
+    # 1500*1031*4 B ~= 6.2 MB: two uneven chunks at the 4 MB default
+    big = rng.standard_normal((1500, 1031)).astype(np.float32)
+
+    class _Client:
+        def __init__(self):
+            self.cid = 0
+            self.fc_local = np.zeros((1, 1), np.float32)
+            self.bce_vars = None
+            self.last_backbone = {"params": jnp.asarray(big)}
+
+    class _Server:
+        def __init__(self):
+            self.federated_vars = {"w": jnp.asarray(big.T.copy())}
+            self.pretrained_fc = None
+            self.clients = [_Client()]
+            self.global_round = 1
+            self.global_epoch = 0
+            self.local_epoch = 10
+            self.train_decay = 0
+            self.rng = np.random.default_rng(100)
+
+    srv = _Server()
+    ckpt = RoundCheckpointer(str(tmp_path), bg_fetch=True)
+    ckpt.save(srv)
+    ckpt.wait()
+    fresh = _Server()
+    fresh.federated_vars = {"w": jnp.zeros_like(big.T)}
+    fresh.clients[0].last_backbone = {"params": jnp.zeros_like(big)}
+    assert RoundCheckpointer(str(tmp_path)).restore(fresh) == 1
+    np.testing.assert_array_equal(fresh.federated_vars["w"], big.T)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.clients[0].last_backbone["params"]), big)
+
+
 def test_round_checkpointer_prunes_orphan_npz(tmp_path):
     """A crash mid-async-write leaves round_K.npz with no meta.json; the
     next prune pass must delete it or it defeats the --round_ckpt_keep disk

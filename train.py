@@ -65,6 +65,8 @@ def build_config(args) -> "FedFRConfig":
     cfg.runtime.round_ckpt_every = getattr(args, "round_ckpt_every", 1)
     cfg.runtime.round_ckpt_keep = getattr(args, "round_ckpt_keep", 0)
     cfg.runtime.round_ckpt_async = getattr(args, "round_ckpt_async", False)
+    cfg.runtime.round_ckpt_bg_fetch = getattr(args, "round_ckpt_bg_fetch",
+                                              False)
     cfg.fed.cache_contrastive = getattr(args, "cache_contrastive", False)
     cfg.fed.lockstep = max(1, getattr(args, "lockstep", 1) or 1)
     if args.val_targets:
@@ -159,7 +161,8 @@ def main(args):
 
     ckpt = RoundCheckpointer(os.path.join(cfg.runtime.output_dir, "rounds"),
                              keep=cfg.runtime.round_ckpt_keep,
-                             async_write=cfg.runtime.round_ckpt_async)
+                             async_write=cfg.runtime.round_ckpt_async,
+                             bg_fetch=cfg.runtime.round_ckpt_bg_fetch)
     if args.resume:
         restored = ckpt.restore(server)
         logger.info("resumed at round %d", restored)
@@ -215,7 +218,9 @@ def main(args):
             server.advance_round()
             if rce and (server.global_round - 1) % rce == 0:
                 # with --round_ckpt_async this span is the device fetch only;
-                # the npz/zlib write overlaps the next round
+                # the npz/zlib write overlaps the next round.  With
+                # --round_ckpt_bg_fetch the fetch overlaps too and this span
+                # is just the reference snapshot (~ms)
                 with server.timer.span("phase/round_ckpt"):
                     ckpt.save(server, extra={
                         "best": [list(h) for h in bin_cb.highest]
@@ -371,6 +376,12 @@ if __name__ == "__main__":
                         help="overlap resume-state serialization with the "
                              "next round (device state is still fetched "
                              "synchronously)")
+    parser.add_argument("--round_ckpt_bg_fetch", action="store_true",
+                        help="also move the device->host resume-state fetch "
+                             "into the writer thread: the round loop "
+                             "proceeds while immutable device buffers are "
+                             "fetched in the background (implies "
+                             "--round_ckpt_async)")
     # dead reference flags, accepted as no-ops so verbatim reference
     # commands run (reference train.py:109-123; --lr_step is "Not actually
     # used" per train.py:130, the others guard commented-out branches)
