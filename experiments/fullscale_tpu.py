@@ -425,6 +425,15 @@ def main():
                   "relaunching with --resume", flush=True)
             if "--resume" not in cmd:
                 cmd.append("--resume")
+            # disarm the background checkpoint fetch after the first
+            # restart: it shares the tunnel with training dispatches, so if
+            # an unforeseen concurrency interaction wedged or degraded the
+            # run, recovery must not re-enter it (the flag only saves the
+            # ~7 min/round fetch — never worth a restart loop)
+            if "--round_ckpt_bg_fetch" in cmd:
+                cmd.remove("--round_ckpt_bg_fetch")
+                print("! disarmed --round_ckpt_bg_fetch for the relaunch",
+                      flush=True)
     summary["train_total_s"] = round(time.time() - t0, 1)
     summary["train_restarts"] = restarts
 

@@ -379,6 +379,40 @@ def test_fullscale_rejects_uncheckpointed_restart_config(monkeypatch):
         fs.main()
 
 
+def test_fullscale_disarms_bg_fetch_after_restart(monkeypatch, tmp_path):
+    """The watchdog's relaunch must drop --round_ckpt_bg_fetch: if an
+    unforeseen tunnel-concurrency interaction wedged the run, recovery must
+    not re-enter it (the flag only buys the ~7 min/round fetch overlap)."""
+    import sys
+
+    fs = _load_fullscale()
+    (tmp_path / "val").mkdir()
+    (tmp_path / "val" / "agedb_30.bin").write_bytes(b"x")
+    (tmp_path / "run").mkdir()
+    (tmp_path / "run" / "training.log").write_text("")
+
+    train_cmds = []
+
+    def fake_run(cmd, stall_timeout=None):
+        if "train.py" in cmd[1]:
+            train_cmds.append(list(cmd))
+            if len(train_cmds) == 1:
+                raise fs.Stall("wedged")
+        return 1.0
+
+    monkeypatch.setattr(fs, "run", fake_run)
+    monkeypatch.setattr(
+        fs, "parse_training_log", lambda p: ({}, {}, [], [], []))
+    monkeypatch.setattr(sys, "argv", [
+        "fullscale_tpu.py", "--work_dir", str(tmp_path), "--quick",
+        "--resume", "--skip_pretrain", "--ckpt_async", "--ckpt_bg_fetch"])
+    fs.main()
+    assert len(train_cmds) == 2
+    assert "--round_ckpt_bg_fetch" in train_cmds[0]
+    assert "--round_ckpt_bg_fetch" not in train_cmds[1]
+    assert "--resume" in train_cmds[1]
+
+
 def test_throughput_monitor_trips_on_collapse():
     """The non-silent degradation trigger (observed: the tunnel degraded
     13x while still emitting output, so the silence watchdog never fired):
