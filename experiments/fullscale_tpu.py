@@ -133,6 +133,10 @@ DEGRADED_FRACTION = 0.2
 DEGRADED_CONSECUTIVE = 2
 DEGRADED_MIN_SAMPLES = 10
 
+# median of the last completed attempt's readings (within this harness
+# process): lets a restarted attempt warn when it comes back degraded
+_LAST_MEDIAN = [None]
+
 
 class _ThroughputMonitor:
     """Tracks 'X samples/sec' readings from the output stream and flags a
@@ -140,10 +144,13 @@ class _ThroughputMonitor:
 
     def __init__(self, fraction=DEGRADED_FRACTION,
                  consecutive=DEGRADED_CONSECUTIVE,
-                 min_samples=DEGRADED_MIN_SAMPLES):
+                 min_samples=DEGRADED_MIN_SAMPLES,
+                 prior_median=None):
         self.fraction = fraction
         self.consecutive = consecutive
         self.min_samples = min_samples
+        self.prior_median = prior_median
+        self.prior_warned = False
         self.history = []
         self.slow_streak = 0
         self.tripped = False
@@ -153,6 +160,21 @@ class _ThroughputMonitor:
         if not m:
             return
         v = float(m.group(1))
+        # a restarted attempt's fresh median converges to whatever rate the
+        # relaunch sustains — deliberate (a legitimately bigger workload must
+        # not trip forever), but if that rate is far below the PREVIOUS
+        # attempt's median the tunnel is still degraded: say so once instead
+        # of silently crawling for the rest of the run
+        if (self.prior_median and not self.prior_warned
+                and len(self.history) == self.min_samples
+                and float(np.median(self.history)) < 0.5 * self.prior_median):
+            self.prior_warned = True
+            print(f"WARNING: post-restart throughput median "
+                  f"{float(np.median(self.history)):.0f} samples/sec is "
+                  f"<50% of the previous attempt's "
+                  f"{self.prior_median:.0f} — the tunnel may still be "
+                  "degraded; this attempt will NOT re-trip on it",
+                  flush=True)
         if len(self.history) >= self.min_samples:
             median = float(np.median(self.history))
             if v < self.fraction * median:
@@ -184,7 +206,7 @@ def run(cmd, log_path=None, stall_timeout=None):
         p = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True, env=RUN_ENV)
         last = [time.time()]
-        mon = _ThroughputMonitor()
+        mon = _ThroughputMonitor(prior_median=_LAST_MEDIAN[0])
 
         def pump():
             for line in p.stdout:
@@ -212,6 +234,8 @@ def run(cmd, log_path=None, stall_timeout=None):
                 break
         t.join()
         p.wait()
+    if len(mon.history) >= mon.min_samples:
+        _LAST_MEDIAN[0] = float(np.median(mon.history))
     if stalled:
         raise Stall(f"{cmd[0]} {cmd[1]}: {stalled}")
     if p.returncode != 0:
@@ -324,6 +348,29 @@ def main():
     if not (args.skip_pretrain or args.resume) and os.path.exists(w):
         shutil.rmtree(w)
     os.makedirs(w, exist_ok=True)
+
+    # the pretrain artifact and the val .bin are spec-dependent: a reused
+    # work_dir (--skip_pretrain / --resume) from a DIFFERENT universe would
+    # silently measure the trajectory against the wrong verification pairs
+    spec_marker = os.path.join(w, "spec.json")
+    if os.path.exists(spec_marker):
+        prev = json.load(open(spec_marker)).get("spec")
+        if prev != spec:
+            ap.error(f"work_dir {w} holds artifacts built for spec "
+                     f"{prev!r} but the current spec is {spec!r}; use a "
+                     "fresh --work_dir (val bin + pretrain are "
+                     "spec-dependent)")
+    else:
+        with open(spec_marker, "w") as f:
+            json.dump({"spec": spec}, f)
+
+    if args.hn_threshold <= 0.5 and ("expr=" in spec or "noise=" in spec):
+        print(f"WARNING: --hn_threshold {args.hn_threshold} with a hardened "
+              f"universe spec ({spec}): the real-MS1M-tuned 0.4 saturates "
+              "mining on compacted synthetic geometry (every client mines "
+              "the full public set, ~15x round balloon).  Calibrate with "
+              "experiments/hn_probe.py (expr=0.6,noise=25 -> 0.71).",
+              flush=True)
 
     summary = {"spec": spec, "rounds": args.rounds}
 

@@ -74,10 +74,23 @@ def build_synth_ijbc_root(root: str, spec: str, *, n_subjects: int,
     from fedfr_tpu.data.synthetic import SyntheticFaceDataset, parse_synth_spec
     from fedfr_tpu.utils.transfer import chunked_device_get
 
+    # the marker records WHAT was built: a reused --ijbc_root from a
+    # different spec or protocol scale (e.g. an earlier --quick smoke) must
+    # rebuild, not silently serve the wrong benchmark
+    build_key = json.dumps({"spec": spec, "n_subjects": n_subjects,
+                            "n_probe_templates": n_probe_templates,
+                            "n_images": n_images, "n_pairs": n_pairs,
+                            "seed": seed}, sort_keys=True)
     done_marker = os.path.join(root, ".complete")
     if os.path.exists(done_marker):
-        print(f"ijbc root {root} already built", flush=True)
-        return
+        if open(done_marker).read() == build_key:
+            print(f"ijbc root {root} already built", flush=True)
+            return
+        print(f"ijbc root {root} was built for a different spec/scale; "
+              "rebuilding", flush=True)
+        import shutil
+
+        shutil.rmtree(root)
     meta = os.path.join(root, "meta", "IJBC_meta")
     os.makedirs(meta, exist_ok=True)
     rng = np.random.default_rng(seed + 11)
@@ -165,7 +178,7 @@ def build_synth_ijbc_root(root: str, spec: str, *, n_subjects: int,
     out.flush()
     del out
     with open(done_marker, "w") as f:
-        f.write("ok\n")
+        f.write(build_key)
     print(f"images written in {time.time() - t0:.1f}s", flush=True)
 
 

@@ -26,7 +26,8 @@ def main():
                     default="/tmp/realdata/ms1m_split/split_pretrain_6000/client_0000")
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--network", default="sphnet")
-    ap.add_argument("--scan_blocks", action="store_true", default=True)
+    ap.add_argument("--scan_blocks", action=argparse.BooleanOptionalAction,
+                    default=True)  # --no-scan_blocks probes the unrolled path
     args = ap.parse_args()
 
     import jax

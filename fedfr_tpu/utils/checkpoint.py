@@ -112,10 +112,10 @@ class RoundCheckpointer:
     (jax arrays are immutable — the next round replaces the server's
     attributes with new arrays, it never mutates the old buffers) and copies
     host-side leaves, then returns immediately.  The thread fetches leaves
-    in tree order (global state first, then clients in training order) and
-    drops each device reference as soon as its host copy lands, so the
-    pinned extra HBM decays over the fetch instead of holding a full second
-    round-state.  On the dev rig this overlaps the ~19 min tunnel-bound
+    in tree-flatten order (dict keys sort lexicographically: the per-client
+    states first, then the global state) and drops each device reference as
+    soon as its host copy lands, so the pinned extra HBM decays over the
+    fetch instead of holding a full second round-state.  On the dev rig this overlaps the ~19 min tunnel-bound
     fetch of a reference-scale state with the next round's compute (the
     fetch is off the training dispatch path — transfers ride the relay
     while the chip computes).  A kill mid-fetch leaves a truncated npz with

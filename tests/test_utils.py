@@ -438,6 +438,26 @@ def test_throughput_monitor_trips_on_collapse():
     assert not mon2.tripped
 
 
+def test_throughput_monitor_warns_once_on_degraded_restart(capsys):
+    """A restarted attempt whose fresh median is far below the previous
+    attempt's must WARN (once) rather than trip — a persistent tunnel
+    degradation can't be fixed by more restarts, but it must not pass
+    silently either."""
+    fs = _load_fullscale()
+    mon = fs._ThroughputMonitor(prior_median=3200.0)
+    for _ in range(15):
+        mon.feed("... 250.0 samples/sec")
+    assert not mon.tripped  # converged median: deliberate non-trip
+    out = capsys.readouterr().out
+    assert out.count("may still be degraded") == 1
+
+    # a healthy restart stays quiet
+    mon2 = fs._ThroughputMonitor(prior_median=3200.0)
+    for _ in range(15):
+        mon2.feed("... 3100.0 samples/sec")
+    assert "degraded" not in capsys.readouterr().out
+
+
 def test_fullscale_watchdog_kills_degraded_subprocess():
     """run() kills + raises Stall when throughput collapses without output
     silence."""
