@@ -135,7 +135,17 @@ DEGRADED_MIN_SAMPLES = 10
 
 # median of the last completed attempt's readings (within this harness
 # process): lets a restarted attempt warn when it comes back degraded
-_LAST_MEDIAN = [None]
+# (command identity, median): the restart-degradation check only compares
+# throughput across attempts of the SAME command — pretrain and train.py
+# sustain very different samples/sec, so a cross-phase carry-over would
+# emit false "tunnel may still be degraded" warnings on healthy first runs
+_LAST_MEDIAN = [None, None]
+
+
+def _prior_median(cmd):
+    """Median throughput of the previous attempt of this SAME command (None
+    for any other command: cross-phase comparisons are meaningless)."""
+    return _LAST_MEDIAN[1] if _LAST_MEDIAN[0] == cmd[1] else None
 
 
 class _ThroughputMonitor:
@@ -206,7 +216,7 @@ def run(cmd, log_path=None, stall_timeout=None):
         p = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True, env=RUN_ENV)
         last = [time.time()]
-        mon = _ThroughputMonitor(prior_median=_LAST_MEDIAN[0])
+        mon = _ThroughputMonitor(prior_median=_prior_median(cmd))
 
         def pump():
             for line in p.stdout:
@@ -235,7 +245,7 @@ def run(cmd, log_path=None, stall_timeout=None):
         t.join()
         p.wait()
     if len(mon.history) >= mon.min_samples:
-        _LAST_MEDIAN[0] = float(np.median(mon.history))
+        _LAST_MEDIAN[:] = [cmd[1], float(np.median(mon.history))]
     if stalled:
         raise Stall(f"{cmd[0]} {cmd[1]}: {stalled}")
     if p.returncode != 0:

@@ -50,10 +50,8 @@ def main():
     from fedfr_tpu.utils.runtime import apply_platform_override
 
     apply_platform_override()
-    import jax.numpy as jnp
-
     from fedfr_tpu.data.synthetic import build_fl_synthetic, parse_synth_spec
-    from fedfr_tpu.federated.embed import embed_dataset, _chunk_max_sim
+    from fedfr_tpu.federated.embed import embed_dataset, max_similarity
     from fedfr_tpu.models import build_backbone
     from fedfr_tpu.utils import torch_interop
 
@@ -85,18 +83,9 @@ def main():
         local_feats, _ = embed_dataset(embed_fn, variables, ds,
                                        args.eval_batch, l2norm=True,
                                        return_device=True)
-        # per-public max cos-sim over local rows, chunked like
-        # hard_negative_mask's XLA path
-        chunk = 65536
-        ms = np.empty(n_pub, dtype=np.float32)
-        for start in range(0, n_pub, chunk):
-            end = min(start + chunk, n_pub)
-            buf = public_feats[start:end]
-            if end - start < chunk:
-                buf = jnp.pad(jnp.asarray(buf),
-                              ((0, chunk - (end - start)), (0, 0)))
-            ms[start:end] = np.asarray(
-                _chunk_max_sim(local_feats, jnp.asarray(buf)))[: end - start]
+        # production mining's own max-sim helper (backend='auto': the probe
+        # calibrates against the SAME kernel hard_negative_mask selects)
+        ms = max_similarity(local_feats, public_feats)
         counts = {f"{t:.2f}": int((ms > t).sum()) for t in thresholds}
         qs = {f"p{q}": float(np.quantile(ms, q / 100))
               for q in (5, 25, 50, 75, 90, 93, 95, 99)}

@@ -39,7 +39,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fullscale_tpu import FULL_SPEC, run  # noqa: E402
+from fullscale_tpu import FULL_SPEC, run, spec_val  # noqa: E402
 
 # held-out identity range for the synthetic IJB-C subjects: disjoint from
 # FL gids (< clients*ids_per_client), public gids (2^20+), expr distractors
@@ -219,8 +219,25 @@ def main():
     ap.add_argument("--out", default="experiments/posttrain_summary.json")
     args = ap.parse_args()
 
-    spec = args.spec or (
+    # the training harness records the universe the run_dir was actually
+    # trained on (<work_dir>/spec.json, experiments/fullscale_tpu.py) —
+    # evaluating against any OTHER spec silently scores the checkpoints on
+    # the wrong synthetic universe, so the marker is authoritative
+    marker = os.path.join(os.path.dirname(os.path.abspath(args.run_dir)),
+                          "spec.json")
+    trained = (json.load(open(marker)).get("spec")
+               if os.path.exists(marker) else None)
+    spec = args.spec or trained or (
         FULL_SPEC + ("," + args.spec_extra if args.spec_extra else ""))
+    if trained is not None and not args.spec and args.spec_extra and \
+            FULL_SPEC + "," + args.spec_extra != trained:
+        print(f"note: --spec_extra overridden by the run_dir's trained spec "
+              f"{trained!r}", flush=True)
+    if trained is not None and spec != trained:
+        raise SystemExit(
+            f"--spec {spec!r} does not match the spec the run_dir was "
+            f"trained on ({trained!r}, from {marker}); evaluating across "
+            "universes produces garbage TPR tables")
     summary = {"run_dir": args.run_dir, "spec": spec}
     ckpt, rnd = newest_backbone(args.run_dir)
     summary["checkpoint"] = ckpt
@@ -288,12 +305,6 @@ def main():
                       if not k.endswith("_tail")}, indent=2))
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
-
-
-def spec_val(spec: str, key: str) -> str:
-    from fedfr_tpu.data.synthetic import parse_synth_spec
-
-    return str(parse_synth_spec(spec)[key])
 
 
 if __name__ == "__main__":

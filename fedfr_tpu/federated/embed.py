@@ -222,16 +222,17 @@ def _chunk_max_sim(local_feats, public_chunk):
     return jnp.max(sim, axis=1)
 
 
-def hard_negative_mask(local_feats: np.ndarray, public_feats: np.ndarray,
-                       threshold: float, chunk: int = 65536,
-                       backend: str = "auto") -> np.ndarray:
-    """Boolean mask over public images with cos-sim > threshold to ANY local
-    image (feature-based hard-negative mining, reference client.py:191-224).
+def max_similarity(local_feats: np.ndarray, public_feats: np.ndarray,
+                   chunk: int = 65536, backend: str = "auto") -> np.ndarray:
+    """(n_public,) max cos-sim of each public image to ANY local image.
 
     Both inputs must be l2-normalized.  backend='pallas' uses the fused
     similarity+row-max TPU kernel (ops/pallas_kernels.py) which never
     materializes the similarity matrix; 'xla' is the exact chunked fallback;
-    'auto' picks pallas on TPU backends.
+    'auto' picks pallas on TPU backends.  Shared by production mining
+    (hard_negative_mask) and the threshold-calibration probe
+    (experiments/hn_probe.py) so calibration measures the SAME kernel
+    mining runs.
     """
     if backend == "auto":
         from ..ops.pallas_kernels import pallas_available
@@ -240,9 +241,8 @@ def hard_negative_mask(local_feats: np.ndarray, public_feats: np.ndarray,
     if backend == "pallas":
         from ..ops.pallas_kernels import max_cosine_similarity
 
-        ms = np.asarray(max_cosine_similarity(jnp.asarray(public_feats),
-                                              jnp.asarray(local_feats)))
-        return ms > threshold
+        return np.asarray(max_cosine_similarity(jnp.asarray(public_feats),
+                                                jnp.asarray(local_feats)))
     n = public_feats.shape[0]
     lf = jnp.asarray(local_feats)
     out = np.empty(n, dtype=np.float32)
@@ -256,4 +256,14 @@ def hard_negative_mask(local_feats: np.ndarray, public_feats: np.ndarray,
                           ((0, chunk - (end - start)), (0, 0)))
         ms = np.asarray(_chunk_max_sim(lf, jnp.asarray(buf)))
         out[start:end] = ms[: end - start]
-    return out > threshold
+    return out
+
+
+def hard_negative_mask(local_feats: np.ndarray, public_feats: np.ndarray,
+                       threshold: float, chunk: int = 65536,
+                       backend: str = "auto") -> np.ndarray:
+    """Boolean mask over public images with cos-sim > threshold to ANY local
+    image (feature-based hard-negative mining, reference client.py:191-224).
+    """
+    return max_similarity(local_feats, public_feats, chunk,
+                          backend) > threshold

@@ -458,6 +458,48 @@ def test_throughput_monitor_warns_once_on_degraded_restart(capsys):
     assert "degraded" not in capsys.readouterr().out
 
 
+def test_prior_median_keyed_by_command():
+    """The degraded-restart warning compares throughput across attempts of
+    the SAME command only: pretrain (batch 512, one model) and train.py
+    (batch 64, full FedFR objective) sustain very different samples/sec, so
+    a cross-phase carry-over would flag healthy first train attempts."""
+    fs = _load_fullscale()
+    old = list(fs._LAST_MEDIAN)
+    try:
+        fs._LAST_MEDIAN[:] = ["pretrain.py", 12000.0]
+        assert fs._prior_median(["python", "train.py"]) is None
+        assert fs._prior_median(["python", "pretrain.py"]) == 12000.0
+    finally:
+        fs._LAST_MEDIAN[:] = old
+
+
+def test_posttrain_rejects_spec_mismatch(monkeypatch, tmp_path):
+    """posttrain_eval_tpu must refuse to evaluate a run_dir against a spec
+    other than the one its training harness recorded (<work_dir>/spec.json)
+    — a mismatched universe silently produces garbage TPR tables."""
+    import importlib.util
+    import json
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "posttrain_eval_tpu",
+        os.path.join(repo, "experiments", "posttrain_eval_tpu.py"))
+    pt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pt)
+
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    (run_dir / "backbone_0.npz").write_bytes(b"x")
+    (tmp_path / "spec.json").write_text(
+        json.dumps({"spec": "synth:clients=2,ids_per_client=4"}))
+    monkeypatch.setattr(sys, "argv", [
+        "posttrain_eval_tpu.py", "--run_dir", str(run_dir),
+        "--spec", "synth:clients=40,ids_per_client=100"])
+    with pytest.raises(SystemExit, match="does not match the spec"):
+        pt.main()
+
+
 def test_fullscale_watchdog_kills_degraded_subprocess():
     """run() kills + raises Stall when throughput collapses without output
     silence."""

@@ -241,12 +241,15 @@ def main(args):
                         x.nbytes for x in jax.live_arrays()
                         if not devs.isdisjoint(x.devices()))
                 mem_peak = max(mem_peak, in_use)
-                live_peak = mem_peak
+                alloc_peak = ms.get("peak_bytes_in_use", 0)
                 logger.info(
-                    "memory: device in_use %.0f MB peak %.0f MB | host maxrss %.0f MB",
-                    in_use / 1e6,
-                    (ms.get("peak_bytes_in_use", 0) or live_peak) / 1e6,
-                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3)
+                    "memory: device in_use %.0f MB peak %.0f MB | host "
+                    "maxrss %.0f MB%s",
+                    in_use / 1e6, (alloc_peak or mem_peak) / 1e6,
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e3,
+                    # the two peaks are NOT comparable across rigs: tag the
+                    # fallback so log readers know which one they got
+                    "" if alloc_peak else " (peak = max live-buffer sum)")
             except Exception:
                 pass
     finally:
