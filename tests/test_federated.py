@@ -451,6 +451,22 @@ def test_hard_negative_mask_threshold():
     np.testing.assert_array_equal(mask, [True] * 4 + [False] * 4)
 
 
+def test_max_similarity_matches_dense_oracle():
+    """max_similarity (the shared mining/calibration helper) equals the
+    dense per-public max over all local rows, including across chunk
+    boundaries with a ragged final chunk."""
+    from fedfr_tpu.federated.embed import max_similarity
+
+    rng = np.random.default_rng(7)
+    loc = rng.normal(size=(13, 16)).astype(np.float32)
+    pub = rng.normal(size=(37, 16)).astype(np.float32)
+    loc /= np.linalg.norm(loc, axis=1, keepdims=True)
+    pub /= np.linalg.norm(pub, axis=1, keepdims=True)
+    got = max_similarity(loc, pub, chunk=8, backend="xla")
+    want = (pub @ loc.T).max(axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_sharded_embed_matches_plain(fl_root):
     """Data-parallel embedding over the mesh equals the single-device path."""
     from fedfr_tpu.federated.embed import make_sharded_embed_fn
