@@ -1,0 +1,39 @@
+#!/bin/sh
+# One-shot launcher for the protocol-complete 20-round run (ref20), fresh
+# or resumed, with the full survival kit: setsid + pgid file (kill without
+# pkill patterns), deadman (frees the chip before driver bench), and the
+# git evidence sync loop (wipes can't erase measurements).
+#
+# Usage: sh experiments/ref20_launch.sh [fresh|resume] [deadline_epoch]
+set -eu
+MODE=${1:-fresh}
+DL=${2:-$(($(date +%s) + 3000))}
+REPO=/root/repo
+W=$REPO/artifacts/ref20
+SPEC_EXTRA='expr=0.6,noise=25,imgs_min=20,imgs_max=24,public_ids=1000,public_imgs=70000,veri_ids=1000,veri_imgs=16'
+mkdir -p "$REPO/artifacts"
+echo "$DL" > "$REPO/artifacts/ref20.deadline"
+
+cd "$REPO"
+if [ "$MODE" = resume ]; then
+  EXTRA="--skip_pretrain --resume"
+else
+  EXTRA="--pretrain_epochs 12"
+fi
+setsid python experiments/fullscale_tpu.py --work_dir "$W" \
+  --rounds 20 $EXTRA --cache_contrastive --ckpt_async \
+  --ckpt_bg_fetch --round_ckpt_every 3 \
+  --spec_extra "$SPEC_EXTRA" \
+  --hn_threshold 0.40 \
+  --stall_timeout 900 --max_restarts 30 \
+  > "$REPO/artifacts/ref20.log" 2>&1 &
+echo $! > "$REPO/artifacts/fullscale20.pid"
+echo "harness pgid $(cat "$REPO/artifacts/fullscale20.pid")"
+
+nohup sh experiments/ref20_deadman.sh "$REPO/artifacts/fullscale20.pid" \
+  "$REPO/artifacts/ref20.deadline" > "$REPO/artifacts/deadman.log" 2>&1 &
+echo $! > "$REPO/artifacts/deadman.pid"
+nohup sh experiments/ref20_sync.sh "$W" 240 \
+  > "$REPO/artifacts/sync.log" 2>&1 &
+echo $! > "$REPO/artifacts/sync.pid"
+echo "deadman $(cat "$REPO/artifacts/deadman.pid"), sync $(cat "$REPO/artifacts/sync.pid"), deadline $DL"
