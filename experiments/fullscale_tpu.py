@@ -386,14 +386,33 @@ def main():
 
     if not (args.skip_pretrain and os.path.exists(
             os.path.join(pre, "fc.pth"))) and not args.resume:
-        dt = run([sys.executable, "pretrain.py", "--data_dir", spec,
-                  "--output_dir", pre, "--network", args.network,
-                  "--embedding_size", str(args.embedding_size),
-                  "--batch_size", "512" if not args.quick else "64",
-                  "--num_epoch", str(args.pretrain_epochs),
-                  "--lr", "0.001", "--lr_steps", ""],
-                 stall_timeout=args.stall_timeout or None)
-        summary["pretrain_s"] = round(dt, 1)
+        # --scan_blocks: the unrolled sphere64 pretrain program remote-
+        # compiles for 15+ min on a core-starved host (observed 2026-08-20,
+        # 1-CPU rig) — long enough to trip the silence watchdog before the
+        # first step ever logs; the scan-rolled program compiles ~5x faster
+        # (CLAUDE.md) and train.py already consumes the scan param layout.
+        # Stalls RETRY with pretrain.py --resume (epoch granularity, incl.
+        # momentum) instead of killing the whole harness.
+        pre_cmd = [sys.executable, "pretrain.py", "--data_dir", spec,
+                   "--output_dir", pre, "--network", args.network,
+                   "--embedding_size", str(args.embedding_size),
+                   "--batch_size", "512" if not args.quick else "64",
+                   "--num_epoch", str(args.pretrain_epochs),
+                   "--lr", "0.001", "--lr_steps", "", "--scan_blocks"]
+        t_pre, pre_tries = time.time(), 0
+        while True:
+            try:
+                run(pre_cmd, stall_timeout=args.stall_timeout or None)
+                break
+            except Stall:
+                pre_tries += 1
+                if pre_tries > args.max_restarts:
+                    raise
+                print("! pretrain stalled; relaunching with --resume",
+                      flush=True)
+                if "--resume" not in pre_cmd:
+                    pre_cmd.append("--resume")
+        summary["pretrain_s"] = round(time.time() - t_pre, 1)
 
     bin_path = os.path.join(val_dir, "agedb_30.bin")
     if not os.path.exists(bin_path):

@@ -25,7 +25,7 @@ setsid python experiments/fullscale_tpu.py --work_dir "$W" \
   --ckpt_bg_fetch --round_ckpt_every 3 \
   --spec_extra "$SPEC_EXTRA" \
   --hn_threshold 0.40 \
-  --stall_timeout 900 --max_restarts 30 \
+  --stall_timeout 1800 --max_restarts 30 \
   > "$REPO/artifacts/ref20.log" 2>&1 &
 echo $! > "$REPO/artifacts/fullscale20.pid"
 echo "harness pgid $(cat "$REPO/artifacts/fullscale20.pid")"
