@@ -199,7 +199,7 @@ class _ThroughputMonitor:
         self.history.append(v)
 
 
-def run(cmd, log_path=None, stall_timeout=None):
+def run(cmd, log_path=None, stall_timeout=None, liveness=None):
     """Stream cmd's output.  With stall_timeout set, watchdog the stream:
     the axon tunnel's PJRT connection can wedge mid-device-call (observed:
     tcp_recvmsg blocked 45+ min while a FRESH client on the same backend
@@ -208,10 +208,19 @@ def run(cmd, log_path=None, stall_timeout=None):
     by the round-checkpoint fetch (~20 min), so the default timeout in
     main() stays above that.  The same watchdog also kills on a NON-silent
     throughput collapse (_ThroughputMonitor): the tunnel has been observed
-    degrading 13x while still emitting output."""
+    degrading 13x while still emitting output.
+
+    ``liveness=(regex, seconds)``: launch-liveness gate — the regex must
+    match SOME output line within ``seconds`` of launch, else the process
+    is killed and a Stall raised.  The round-4 ref20 loss mode was a
+    pretrain that kept printing banner lines but never reached step 1
+    (15+ min unrolled remote compile) inside a silence timeout that
+    therefore never fired."""
     print("+", " ".join(cmd), flush=True)
     t0 = time.time()
     stalled = None
+    live_re = re.compile(liveness[0]) if liveness else None
+    live_ok = [live_re is None]
     with open(log_path, "a") if log_path else open(os.devnull, "w") as sink:
         p = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
                              stderr=subprocess.STDOUT, text=True, env=RUN_ENV)
@@ -225,15 +234,22 @@ def run(cmd, log_path=None, stall_timeout=None):
                 last[0] = time.time()
                 if stall_timeout:
                     mon.feed(line)
+                if not live_ok[0] and live_re.search(line):
+                    live_ok[0] = True
 
         t = threading.Thread(target=pump, daemon=True)
         t.start()
         poll = min(15.0, stall_timeout / 2) if stall_timeout else 15.0
         while t.is_alive():
             t.join(timeout=poll)
-            if not (stall_timeout and t.is_alive()):
+            if not t.is_alive():
                 continue
-            if time.time() - last[0] > stall_timeout:
+            if (not live_ok[0]) and time.time() - t0 > liveness[1]:
+                stalled = (f"liveness: no line matching {liveness[0]!r} "
+                           f"within {liveness[1]:.0f}s of launch")
+            elif not stall_timeout:
+                continue
+            elif time.time() - last[0] > stall_timeout:
                 stalled = f"no output for {stall_timeout:.0f}s"
             elif mon.tripped:
                 stalled = (f"throughput collapsed: last readings "
@@ -335,6 +351,12 @@ def main():
                     "over several rounds at the cost of coarser restart "
                     "granularity")
     ap.add_argument("--max_restarts", type=int, default=4)
+    ap.add_argument("--pgid_file", default="",
+                    help="write this process's own process-group id here at "
+                    "startup.  The launcher's `echo $!` equals the pgid only "
+                    "under a non-interactive shell (no job control); from an "
+                    "interactive bash, setsid forks and $! is a dead pid — "
+                    "the deadman's `kill -- -$pg` would silently no-op")
     ap.add_argument("--hn_threshold", type=float, default=0.4,
                     help="hard-negative mining cosine threshold (train.py "
                     "--HN_threshold).  The reference's 0.4 (config.py:28) is "
@@ -346,6 +368,11 @@ def main():
                     "fraction (~27k imgs/client): expr=0.6,noise=25 -> 0.71")
     args = ap.parse_args()
 
+    if args.pgid_file:
+        tmp = args.pgid_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(os.getpgid(0)))
+        os.replace(tmp, args.pgid_file)
     if args.cpu:
         RUN_ENV["FEDFR_PLATFORM"] = "cpu"
     spec = QUICK_SPEC if args.quick else FULL_SPEC
@@ -399,17 +426,38 @@ def main():
                    "--batch_size", "512" if not args.quick else "64",
                    "--num_epoch", str(args.pretrain_epochs),
                    "--lr", "0.001", "--lr_steps", "", "--scan_blocks"]
-        t_pre, pre_tries = time.time(), 0
+        # pretrain gets its own SHORT stall timeout: the 1800 s floor exists
+        # for train.py's ~20-min round-checkpoint fetch window (CLAUDE.md);
+        # pretrain's worst legitimate silence is the scan-rolled remote
+        # compile (~42 s) plus the cold-tunnel first-fetch penalty (~205 s).
+        # The liveness gate additionally demands the FIRST throughput line
+        # (step 50 at b512) within 10 min of launch — the round-4 ref20 loss
+        # mode printed banners forever and never reached step 1.
+        pre_stall = min(args.stall_timeout, 600) if args.stall_timeout else None
+        t_pre, pre_tries, pre_fast_fails = time.time(), 0, 0
         while True:
+            attempt_t0 = time.time()
             try:
-                run(pre_cmd, stall_timeout=args.stall_timeout or None)
+                run(pre_cmd, stall_timeout=pre_stall,
+                    liveness=(r"samples/sec", 600.0))
                 break
-            except Stall:
+            except RuntimeError as e:  # Stall subclasses RuntimeError
+                # mirror the train.py loop: transient non-stall exits
+                # (tunnel connection refused, early OOM kill, a corrupt
+                # resume artifact) retry with --resume; two consecutive
+                # fast (<60 s) non-stall failures mean a deterministic
+                # error not worth re-paying startup for
+                if not isinstance(e, Stall) and time.time() - attempt_t0 < 60:
+                    pre_fast_fails += 1
+                    if pre_fast_fails >= 2:
+                        raise
+                else:
+                    pre_fast_fails = 0
                 pre_tries += 1
                 if pre_tries > args.max_restarts:
                     raise
-                print("! pretrain stalled; relaunching with --resume",
-                      flush=True)
+                print(f"! pretrain attempt {pre_tries} failed ({e}); "
+                      "relaunching with --resume", flush=True)
                 if "--resume" not in pre_cmd:
                     pre_cmd.append("--resume")
         summary["pretrain_s"] = round(time.time() - t_pre, 1)

@@ -20,13 +20,19 @@ if [ "$MODE" = resume ]; then
 else
   EXTRA="--pretrain_epochs 12"
 fi
+# log APPENDS across relaunches: the sync loop snapshots it into git, and a
+# truncating relaunch would overwrite the committed evidence of earlier
+# attempts with an empty file
 setsid python experiments/fullscale_tpu.py --work_dir "$W" \
   --rounds 20 $EXTRA --cache_contrastive --ckpt_async \
   --ckpt_bg_fetch --round_ckpt_every 3 \
   --spec_extra "$SPEC_EXTRA" \
   --hn_threshold 0.40 \
   --stall_timeout 1800 --max_restarts 30 \
-  > "$REPO/artifacts/ref20.log" 2>&1 &
+  --pgid_file "$REPO/artifacts/fullscale20.pid" \
+  >> "$REPO/artifacts/ref20.log" 2>&1 &
+# provisional (harness overwrites with its real pgid via --pgid_file; $! is
+# only correct when this launcher runs without job control)
 echo $! > "$REPO/artifacts/fullscale20.pid"
 echo "harness pgid $(cat "$REPO/artifacts/fullscale20.pid")"
 

@@ -18,7 +18,8 @@ mkdir -p "$DEST"
 cd /root/repo
 while :; do
   changed=0
-  for f in run/training.log run/local_log.txt summary.json; do
+  for f in run/training.log run/local_log.txt summary.json \
+           pre/pretrain.log; do
     src="$WORK/$f"
     out="$DEST/$(basename "$f")"
     if [ -f "$src" ] && ! cmp -s "$src" "$out" 2>/dev/null; then

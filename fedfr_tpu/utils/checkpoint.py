@@ -67,7 +67,15 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 def save_native(tree: Any, path: str) -> None:
     flat = _flatten(tree)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path if path.endswith(".npz") else path + ".npz", **flat)
+    final = path if path.endswith(".npz") else path + ".npz"
+    # atomic: the long-run watchdog/deadman kills (experiments/fullscale_tpu
+    # .py) can land mid-write during the epoch-end save window; a truncated
+    # pretrain_state.npz would crash the --resume relaunch that the kill
+    # exists to enable
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **flat)
+    os.replace(tmp, final)
 
 
 def load_native(path: str) -> Any:

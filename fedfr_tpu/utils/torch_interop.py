@@ -17,6 +17,7 @@ Layout conversions:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -386,4 +387,9 @@ def load_pth(path: str) -> Dict[str, Any]:
 def save_pth(sd: Dict[str, Any], path: str) -> None:
     import torch
 
-    torch.save(sd, path)
+    # atomic: a watchdog/deadman SIGKILL mid-save must not leave a truncated
+    # fc.pth/backbone.pth that a later --skip_pretrain/resume session
+    # silently trusts as complete
+    tmp = path + ".tmp"
+    torch.save(sd, tmp)
+    os.replace(tmp, path)
