@@ -535,6 +535,41 @@ def test_fullscale_watchdog_kills_silent_subprocess():
     assert time.time() - t0 < 60  # killed, not slept out
 
 
+def test_fullscale_liveness_gate_kills_bannering_subprocess():
+    """run()'s launch-liveness gate: a subprocess that keeps printing but
+    never emits the liveness pattern is killed at the liveness deadline.
+    The round-4 ref20 loss mode was a pretrain that printed its banners
+    then remote-compiled silently for 15+ min — chatty enough early that
+    nothing fired before the session ended."""
+    import sys
+    import time
+
+    fs = _load_fullscale()
+    t0 = time.time()
+    with pytest.raises(fs.Stall, match="liveness"):
+        fs.run([sys.executable, "-c",
+                "import time\n"
+                "print('banner', flush=True)\n"
+                "time.sleep(120)\n"],
+               stall_timeout=None, liveness=(r"samples/sec", 2.0))
+    assert time.time() - t0 < 60  # killed at the gate, not slept out
+
+
+def test_fullscale_liveness_gate_passes_once_pattern_seen():
+    """Once the liveness pattern appears, the gate disarms: a subprocess
+    slower than the liveness deadline but emitting step lines completes."""
+    import sys
+
+    fs = _load_fullscale()
+    dt = fs.run([sys.executable, "-c",
+                 "import time\n"
+                 "print('x 50.0 samples/sec', flush=True)\n"
+                 "time.sleep(3)\n"
+                 "print('done', flush=True)\n"],
+                stall_timeout=30.0, liveness=(r"samples/sec", 2.0))
+    assert dt < 60
+
+
 def test_fullscale_watchdog_passes_healthy_subprocess():
     """A chatty subprocess under the same stall_timeout completes normally
     and run() returns its wall time."""
