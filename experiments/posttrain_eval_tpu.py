@@ -182,6 +182,60 @@ def build_synth_ijbc_root(root: str, spec: str, *, n_subjects: int,
     print(f"images written in {time.time() - t0:.1f}s", flush=True)
 
 
+def parse_local_log(text: str):
+    """Structured mean tables from local_all.py's local_log.txt appends.
+
+    1:1 (`Mean (-6 to -1):\\n[v v ...]`, local_all.py:188-193) and 1:n
+    (`Far:`/`Pr :` reprs, local_all.py:200-203); the LAST occurrence of
+    each wins (the file accumulates across runs/epochs)."""
+    out = {}
+    m11 = re.findall(r"Mean \(-6 to -1\):\s*\n\[([0-9. ]+)\]", text)
+    if m11:
+        out["local_11_mean_tpr_fpr_1e6_to_1e1"] = [
+            float(v) for v in m11[-1].split()]
+    m1n = re.findall(
+        r"Far: \[([^\]]+)\]\s*\nPr : \[([^\]]+)\]", text)
+    if m1n:
+        fars, prs = m1n[-1]
+        unq = lambda s: s.strip().strip("'\"")  # noqa: E731
+        out["local_1n_tpir_at_fpir"] = {
+            unq(f): float(unq(p))
+            for f, p in zip(fars.split(","), prs.split(","))}
+    return out
+
+
+def parse_ijbc_logs(run_dir: str, target: str = "ijbc"):
+    """Structured tables from the ijbc-1:1 / ijbc-1:n log.txt appends
+    (evalsuite/ijbc.py:508-544, the reference's ijbc_all.py:588-627
+    formats)."""
+    out = {}
+    p11 = os.path.join(run_dir, f"{target}-1:1", "log.txt")
+    if os.path.exists(p11):
+        rows = re.findall(r"\|\s*{0}-\S+\s*\|([^\n]+)\|".format(target),
+                          open(p11).read())
+        if rows:
+            vals = [float(v) for v in rows[-1].replace("|", " ").split()]
+            fprs = ["1e-06", "1e-05", "0.0001", "0.001", "0.01", "0.1"]
+            out["ijbc_11_tpr_at_fpr"] = dict(zip(fprs, vals))
+    p1n = os.path.join(run_dir, f"{target}-1:n", "log.txt")
+    if os.path.exists(p1n):
+        text = open(p1n).read()
+        blocks = text.split("Epoch ")
+        last = blocks[-1]
+        ranks = {m.group(1): float(m.group(2)) for m in re.finditer(
+            r"(top\S*|rank\S*|\brank \d+) : ([0-9.]+)", last)}
+        if not ranks:
+            ranks = {m.group(1): float(m.group(2)) for m in re.finditer(
+                r"^(\S+) : ([0-9.]+)$", last, re.M)}
+        fpirs = {m.group(1): float(m.group(2)) for m in re.finditer(
+            r"far = ([0-9.]+)  pr = ([0-9.]+)", last)}
+        if ranks:
+            out["ijbc_1n_rank"] = ranks
+        if fpirs:
+            out["ijbc_1n_tpir_at_fpir"] = fpirs
+    return out
+
+
 def newest_backbone(run_dir: str):
     """(path, round) of the newest per-round global checkpoint."""
     cands = []
@@ -278,6 +332,7 @@ def main():
             log = os.path.join(args.run_dir, f"ijbc-{job}", "log.txt")
             if os.path.exists(log):
                 summary[f"ijbc_{job}_log_tail"] = open(log).read()[-2000:]
+        summary.update(parse_ijbc_logs(args.run_dir))
 
     if not args.skip_local:
         sp_clients = int(spec_val(spec, "clients"))
@@ -299,7 +354,9 @@ def main():
             summary[f"local_{task}_s"] = round(dt, 1)
         log = os.path.join(args.run_dir, "local_log.txt")
         if os.path.exists(log):
-            summary["local_log_tail"] = open(log).read()[-4000:]
+            text = open(log).read()
+            summary["local_log_tail"] = text[-4000:]
+            summary.update(parse_local_log(text))
 
     print(json.dumps({k: v for k, v in summary.items()
                       if not k.endswith("_tail")}, indent=2))
