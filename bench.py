@@ -231,6 +231,90 @@ def bench_train_step(jax, jnp, iters: int = 4, cached: bool = False):
     return ips, flops / B, dt / iters * 1e3
 
 
+def bench_train_step_lockstep(jax, jnp, K: int = 2, iters: int = 4,
+                              dry: bool = False):
+    """The client-parallel joint step at lockstep K on ONE chip (--lockstep,
+    parallel/client_parallel.py): K clients advance together in one vmapped
+    dispatch, so the convs see an effective batch of K*256.  This is the
+    production path for at-scale rounds and the batch-efficiency answer to
+    the sequential step's MFU plateau: the per-dispatch batch doubles while
+    the math per client stays the reference's com_batch_size 256
+    (client.py:355-404)."""
+    import functools
+
+    from fedfr_tpu.federated.trainer import init_client_state
+    from fedfr_tpu.models import BCEModule, build_backbone
+    from fedfr_tpu.models.factory import fast_zero_variables
+    from fedfr_tpu.parallel.client_parallel import make_parallel_branch_step
+    from fedfr_tpu.parallel.fedavg import stack_trees
+
+    E, B = 512, 256
+    n_local, n_global = 100, 6000
+    backbone = build_backbone("sphnet", E, bf16=True, scan_blocks=True)
+    key = jax.random.PRNGKey(0)
+    init = functools.partial(cheap_init, jax, jnp)
+    bvars = init(jax.eval_shape(
+        lambda: backbone.init(key, jnp.zeros((1, 112, 112, 3)), train=False)))
+    bce = BCEModule(E, n_local)
+    bce_vars = init(jax.eval_shape(
+        bce.init, key, jnp.zeros((1, E)), jnp.zeros((1,), jnp.int32)))
+    fc = jnp.full((n_local + n_global, E), 1e-2, jnp.float32)
+    state = stack_trees([init_client_state(
+        jax.tree_util.tree_map(jnp.copy, bvars), fc, bce_vars)
+        for _ in range(K)])
+    last = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), bvars)
+
+    step = make_parallel_branch_step(backbone, bce, num_local=n_local,
+                                     num_clients=40)
+
+    @jax.jit
+    def make_inputs(key):
+        imgs = jax.random.randint(key, (K, B, 112, 112, 3), 0, 255, jnp.uint8)
+        labels = jax.random.randint(key, (K, B), 0, n_local + n_global,
+                                    jnp.int32)
+        return imgs, labels
+
+    n_total = iters + 2
+    inputs = [make_inputs(k)
+              for k in jax.random.split(jax.random.PRNGKey(1), n_total)]
+    valid = jnp.ones((K, B), bool)
+    lr = jnp.float32(0.001)
+    rngs = jnp.stack([jnp.asarray(jax.random.PRNGKey(2 + c))
+                      for c in range(K)])
+    for i, l in inputs:
+        i.block_until_ready()
+
+    flops = _flops_per_call(step, state, bvars, last, *inputs[0], valid,
+                            lr, rngs, jnp.int32(0))
+    if dry:
+        # plumbing check without executing (sphere64 at 2x256 is minutes per
+        # dispatch on CPU): abstract-evaluate the full jitted program
+        out_state, out_metrics = jax.eval_shape(
+            step, state, bvars, last, *inputs[0], valid, lr, rngs,
+            jnp.int32(0))
+        assert out_metrics.loss.shape == (K,)
+        chex = jax.tree_util.tree_structure
+        assert chex(out_state) == chex(state)
+        return 0.0, flops / (K * B), 0.0
+
+    metrics = None
+    for w in range(2):  # warmup (donated state flows through)
+        state, metrics = step(state, bvars, last, *inputs[w], valid, lr,
+                              rngs, jnp.int32(w))
+    np.asarray(metrics.loss)
+
+    t0 = time.perf_counter()
+    for s in range(iters):
+        state, metrics = step(state, bvars, last, *inputs[2 + s], valid, lr,
+                              rngs, jnp.int32(2 + s))
+    loss = np.asarray(metrics.loss)  # completion barrier (chained states)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss).all()
+    ips = K * B * iters / dt
+    return ips, flops / (K * B), dt / iters * 1e3
+
+
 def bench_pretrain_step(jax, jnp, sample_rate: float, iters: int = 4):
     """Class-sharded margin-softmax pretraining step at production shape
     (sphere64, batch 512, 6000 classes — the SURVEY north-star kernel,
@@ -388,6 +472,17 @@ def main():
     ctrain_ips, ctrain_fpi, ctrain_ms = bench_train_step(jax, jnp, cached=True)
     ctrain_mfu = ctrain_ips * ctrain_fpi / peak
 
+    # degradable: a failure in the newest benched program must not take the
+    # whole bench line down with it (main() retries would re-fail here)
+    try:
+        ls_ips, ls_fpi, ls_ms = bench_train_step_lockstep(jax, jnp, K=2)
+        ls_mfu = ls_ips * ls_fpi / peak
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        ls_ips = ls_fpi = ls_ms = ls_mfu = float("nan")
+
     pre_ips, pre_fpi, pre_ms = bench_pretrain_step(jax, jnp, 1.0)
     pre_mfu = pre_ips * pre_fpi / peak
     spre_ips, spre_fpi, spre_ms = bench_pretrain_step(jax, jnp, 0.1)
@@ -424,6 +519,14 @@ def main():
                 "ms_per_step_batch256": round(ctrain_ms, 1),
                 "gflop_per_img": round(ctrain_fpi / 1e9, 2),
                 "mfu": round(ctrain_mfu, 3),
+            },
+            # --lockstep 2: the client-parallel production path on one chip
+            # (two clients per vmapped dispatch, effective conv batch 512)
+            "lockstep2": {
+                "images_per_sec": round(ls_ips, 1),
+                "ms_per_step_2x256": round(ls_ms, 1),
+                "gflop_per_img": round(ls_fpi / 1e9, 2),
+                "mfu": round(ls_mfu, 3),
             },
         },
         "pretrain_step": {
