@@ -165,6 +165,47 @@ def main():
     np.asarray(m.loss)
     report["full_step_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
 
+    # 6. N steps fused into ONE dispatch (lax.scan over stacked batches):
+    # separates per-dispatch overhead (host enqueue through the tunneled
+    # PJRT + launch gaps between dependent dispatches) from compute.  If
+    # per-step time here drops materially below full_step_ms, the MFU
+    # plateau is dispatch-bound, not MXU-bound — and a steps-per-dispatch
+    # knob (viable with device-resident data) is the fix.  Lockstep K=2
+    # measuring only +1.9% (DESIGN.md) already rules out batch
+    # under-filling as the main cause.
+    N_SCAN = 4
+
+    def stacked(i0):
+        pick = [inputs[(i0 + j) % len(inputs)] for j in range(N_SCAN)]
+        return (jnp.stack([p[0] for p in pick]),
+                jnp.stack([p[1] for p in pick]))
+
+    def full_scan(state, su8, slb, step0):
+        def body(st, xs):
+            u8, lb, i = xs
+            st, m = step(st, bvars, bvars, u8, lb, valid,
+                         jnp.float32(0.001), rng, i)
+            return st, m.loss
+        steps = step0 + jnp.arange(N_SCAN, dtype=jnp.int32)
+        return jax.lax.scan(body, state, (su8, slb, steps))
+
+    jfs = jax.jit(full_scan)
+    state2 = init_client_state(
+        jax.tree_util.tree_map(jnp.copy, bvars), fc, bce_vars)
+    # pre-stack OUTSIDE the timed loop (the 4x256-image device stack is a
+    # ~150 MB copy that would otherwise pollute the per-step time)
+    pre = [stacked(i) for i in range(ITERS + 1)]
+    for su8, slb in pre:
+        su8.block_until_ready()
+    cur2, losses = jfs(state2, *pre[0], jnp.int32(0))
+    np.asarray(losses[-1])
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        cur2, losses = jfs(cur2, *pre[i + 1], jnp.int32(N_SCAN * (1 + i)))
+    np.asarray(losses[-1])
+    report["scan%d_per_step_ms" % N_SCAN] = (
+        (time.perf_counter() - t0) / (ITERS * N_SCAN) * 1e3)
+
     report["network"] = args.network
     report["batch"] = B
     print(json.dumps({k: (round(v, 1) if isinstance(v, float) else v)
