@@ -401,6 +401,21 @@ def main():
         with open(spec_marker, "w") as f:
             json.dump({"spec": spec}, f)
 
+    # the synthetic veri split's gids are 0..veri_ids-1 — the same identity
+    # range the FL clients own (data/synthetic.py:329).  A veri draw smaller
+    # than clients*ids_per_client leaves the tail clients with no veri
+    # presence: their personalized 1:1/1:n tables silently degenerate to
+    # TPR=FPR (observed live 2026-08-20 at veri_ids=1000/4000 FL ids).
+    n_fl_ids = int(spec_val(spec, "clients")) * int(
+        spec_val(spec, "ids_per_client"))
+    v_ids = int(spec_val(spec, "veri_ids"))
+    if v_ids < n_fl_ids:
+        ap.error(f"spec veri_ids={v_ids} < clients*ids_per_client="
+                 f"{n_fl_ids}: clients owning gids >= {v_ids} would have "
+                 "no verification presence and degenerate local TPR tables; "
+                 "set veri_ids={0} (reduce veri_imgs to bound eval cost "
+                 "instead)".format(n_fl_ids))
+
     if args.hn_threshold <= 0.5 and ("expr=" in spec or "noise=" in spec):
         print(f"WARNING: --hn_threshold {args.hn_threshold} with a hardened "
               f"universe spec ({spec}): the real-MS1M-tuned 0.4 saturates "

@@ -10,7 +10,13 @@ MODE=${1:-fresh}
 DL=${2:-$(($(date +%s) + 3000))}
 REPO=/root/repo
 W=$REPO/artifacts/ref20
-SPEC_EXTRA='expr=0.6,noise=25,imgs_min=20,imgs_max=24,public_ids=1000,public_imgs=70000,veri_ids=1000,veri_imgs=16'
+# veri_ids MUST equal clients*ids_per_client: the synthetic veri split's
+# gids are 0..veri_ids-1 (data/synthetic.py:329, same identities as the FL
+# pool), so a smaller draw leaves the tail clients with NO veri presence
+# and their personalized 1:1/1:n tables degenerate to TPR=FPR (observed
+# live 2026-08-20: candidates 11+ at veri_ids=1000 read [10.0, 1.0, ...]
+# while clients 1/5 read real improving TPR).
+SPEC_EXTRA='expr=0.6,noise=25,imgs_min=20,imgs_max=24,public_ids=1000,public_imgs=70000,veri_ids=4000,veri_imgs=8'
 mkdir -p "$REPO/artifacts"
 echo "$DL" > "$REPO/artifacts/ref20.deadline"
 

@@ -207,7 +207,11 @@ def main(args):
             with timer.span("eval"), server.timer.span("phase/bin_eval"):
                 server.test()
             rce = cfg.runtime.round_ckpt_every
-            if rce and server.global_round % rce == 0:
+            # the FINAL round always exports, whatever the cadence: the
+            # post-training ritual (README.md:20-56, ijbc on the final
+            # checkpoint) must not silently evaluate round N-(N%rce)
+            is_final = server.global_round == cfg.fed.total_rounds - 1
+            if rce and (server.global_round % rce == 0 or is_final):
                 # falls back to .npz internally when the network has no
                 # torch-export geometry (Server.save_round_checkpoint)
                 with server.timer.span("phase/torch_export"):
@@ -216,7 +220,7 @@ def main(args):
             if cce and server.global_round % cce == 0:
                 server.save_client_checkpoints(cfg.runtime.output_dir)
             server.advance_round()
-            if rce and (server.global_round - 1) % rce == 0:
+            if rce and ((server.global_round - 1) % rce == 0 or is_final):
                 # with --round_ckpt_async this span is the device fetch only;
                 # the npz/zlib write overlaps the next round.  With
                 # --round_ckpt_bg_fetch the fetch overlaps too and this span
