@@ -500,6 +500,22 @@ def test_posttrain_rejects_spec_mismatch(monkeypatch, tmp_path):
         pt.main()
 
 
+def test_fullscale_rejects_undercovering_veri_spec(monkeypatch, tmp_path):
+    """The synthetic veri split's gids are the FL pool's identity range
+    (data/synthetic.py:329): a spec whose veri_ids < clients*ids_per_client
+    leaves the tail clients with no veri presence and their personalized
+    TPR tables degenerate to TPR=FPR (observed live, ref20 attempt 1).
+    The harness must refuse it up front."""
+    import sys
+
+    fs = _load_fullscale()
+    monkeypatch.setattr(sys, "argv", [
+        "fullscale_tpu.py", "--work_dir", str(tmp_path / "w"), "--cpu",
+        "--spec_extra", "veri_ids=100,veri_imgs=8"])
+    with pytest.raises(SystemExit):
+        fs.main()
+
+
 def test_fullscale_watchdog_kills_degraded_subprocess():
     """run() kills + raises Stall when throughput collapses without output
     silence."""
