@@ -29,9 +29,16 @@ fi
 # log APPENDS across relaunches: the sync loop snapshots it into git, and a
 # truncating relaunch would overwrite the committed evidence of earlier
 # attempts with an empty file
+# NO --ckpt_bg_fetch: measured OOM 2026-08-20 08:05 — the background
+# fetch keeps a full resume-state snapshot (~7.6 GB of client+global
+# states) alive on device through the NEXT round, and on one 15.75 GB
+# chip with 40 resident client states (~8.6 GB, BENCH r4 telemetry) that
+# tips HBM over (RESOURCE_EXHAUSTED mid-fetch, round 1).  The flag is a
+# multi-chip knob (states shard over the client axis); single-chip runs
+# pay the synchronous fetch (~3.6 min per checkpointed round here).
 setsid python experiments/fullscale_tpu.py --work_dir "$W" \
   --rounds 20 $EXTRA --cache_contrastive --ckpt_async \
-  --ckpt_bg_fetch --round_ckpt_every 3 \
+  --round_ckpt_every 3 \
   --spec_extra "$SPEC_EXTRA" \
   --hn_threshold 0.40 \
   --stall_timeout 1800 --max_restarts 30 \
