@@ -159,15 +159,34 @@ class RoundCheckpointer:
     def _fetch_releasing(box: list) -> Any:
         """Fetch ``box[0]`` (a pytree snapshot) to host numpy, releasing each
         device reference as soon as its host copy lands.  ``box`` is a
-        1-element list so the caller's reference can be dropped too."""
+        1-element list so the caller's reference can be dropped too.
+
+        RESOURCE_EXHAUSTED on a leaf retries with backoff instead of
+        aborting: in bg-fetch mode the fetch runs concurrently with the
+        next round's compute, and the chunked get's device-slice
+        allocations can transiently lose the HBM race at the round's peak
+        (measured live 2026-08-20: 40 resident client states + the pinned
+        snapshot + a training step's transients tipped a 15.75 GB chip).
+        Pressure drops between steps and as fetched leaves release, so a
+        paced retry converts an OOM abort into a slower fetch; a chip that
+        stays exhausted ~10 min is a real failure and still raises."""
+        import time as _time
+
         import jax
 
-        from .transfer import chunked_device_get
+        from . import transfer
 
         leaves, treedef = jax.tree_util.tree_flatten(box.pop())
         out = []
         for i in range(len(leaves)):
-            out.append(chunked_device_get(leaves[i]))
+            for attempt in range(40):
+                try:
+                    out.append(transfer.chunked_device_get(leaves[i]))
+                    break
+                except Exception as e:  # jax runtime errors share no base
+                    if "RESOURCE_EXHAUSTED" not in str(e) or attempt >= 39:
+                        raise
+                    _time.sleep(15)
             leaves[i] = None
         return jax.tree_util.tree_unflatten(treedef, out)
 

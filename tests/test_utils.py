@@ -500,6 +500,41 @@ def test_posttrain_rejects_spec_mismatch(monkeypatch, tmp_path):
         pt.main()
 
 
+def test_ckpt_fetch_retries_transient_resource_exhausted(monkeypatch):
+    """The bg-fetch runs concurrently with the next round's compute and can
+    transiently lose the HBM race (measured live: RESOURCE_EXHAUSTED
+    mid-fetch at 40 resident client states).  _fetch_releasing must retry
+    with backoff instead of aborting, and still raise on persistent
+    exhaustion or unrelated errors."""
+    import numpy as np
+
+    from fedfr_tpu.utils import transfer
+    from fedfr_tpu.utils.checkpoint import RoundCheckpointer
+
+    real = transfer.chunked_device_get
+    fails = {"n": 2}
+
+    def flaky(tree):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("TPU backend error (ResourceExhausted): "
+                               "RESOURCE_EXHAUSTED")
+        return real(tree)
+
+    monkeypatch.setattr(transfer, "chunked_device_get", flaky)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    tree = {"a": np.arange(4.0), "b": np.ones(2)}
+    out = RoundCheckpointer._fetch_releasing([tree])
+    np.testing.assert_array_equal(out["a"], np.arange(4.0))
+
+    def broken(tree):
+        raise RuntimeError("something else entirely")
+
+    monkeypatch.setattr(transfer, "chunked_device_get", broken)
+    with pytest.raises(RuntimeError, match="something else"):
+        RoundCheckpointer._fetch_releasing([tree])
+
+
 def test_fullscale_rejects_undercovering_veri_spec(monkeypatch, tmp_path):
     """The synthetic veri split's gids are the FL pool's identity range
     (data/synthetic.py:329): a spec whose veri_ids < clients*ids_per_client
