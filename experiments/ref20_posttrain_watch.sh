@@ -7,6 +7,13 @@
 # The chip frees the moment train.py exits, so chaining here wastes none of
 # the session's remaining accelerator time.
 #
+# The chain runs under its OWN setsid pgid with its OWN deadman against the
+# same deadline file: whenever the deadline passes, the chip is freed no
+# matter which phase (train harness or posttrain eval) currently owns it —
+# the driver's end-of-round bench must never contend the single tunneled
+# device.  Evidence (posttrain log + ijbc log tables + summary JSONs) is
+# committed as it lands, so a rig wipe mid-chain loses nothing measured.
+#
 # Usage: sh experiments/ref20_posttrain_watch.sh [work_dir] [deadline_file]
 set -u
 W=${1:-/root/repo/artifacts/ref20}
@@ -23,6 +30,43 @@ done
 echo "summary.json found at $(date -u +%FT%TZ); launching posttrain chain"
 python experiments/harvest_fullscale.py --run_dir "$W/run" \
   --out experiments/ref20_summary.json || true
-exec python experiments/posttrain_eval_tpu.py \
+git add experiments/ref20_summary.json 2>/dev/null && \
+  git commit -q -m "ref20: harvest run summary" \
+    -- experiments/ref20_summary.json 2>/dev/null
+
+setsid python experiments/posttrain_eval_tpu.py \
   --run_dir "$W/run" --ijbc_root "$W/ijbc" \
-  --out experiments/ref20_posttrain_summary.json
+  --out experiments/ref20_posttrain_summary.json \
+  >> "$REPO/artifacts/posttrain.log" 2>&1 &
+pid=$!
+pg=$(ps -o pgid= -p "$pid" | tr -d ' ')
+echo "${pg:-$pid}" > "$REPO/artifacts/posttrain.pid"
+nohup sh experiments/ref20_deadman.sh "$REPO/artifacts/posttrain.pid" \
+  "$DLF" >> "$REPO/artifacts/deadman_posttrain.log" 2>&1 &
+
+# mini evidence sync for the posttrain phase (the main sync loop tracks the
+# training work dir's fixed file list, not the ijbc log tables)
+DEST=$REPO/experiments/ref20_live
+while kill -0 "$pid" 2>/dev/null; do
+  sleep 120
+  changed=0
+  for f in "$REPO/artifacts/posttrain.log" \
+           "$W/run/ijbc-1:1/log.txt" "$W/run/ijbc-1:n/log.txt"; do
+    [ -f "$f" ] || continue
+    case "$f" in
+      */ijbc-1:1/*) out="$DEST/ijbc_11_log.txt" ;;
+      */ijbc-1:n/*) out="$DEST/ijbc_1n_log.txt" ;;
+      *) out="$DEST/posttrain.log" ;;
+    esac
+    cmp -s "$f" "$out" 2>/dev/null || { cp "$f" "$out" && changed=1; }
+  done
+  [ "$changed" = 1 ] && git add "$DEST" 2>/dev/null && \
+    git commit -q -m "ref20 posttrain evidence sync" -- "$DEST" 2>/dev/null
+done
+wait "$pid"
+rc=$?
+echo "posttrain chain exited rc=$rc at $(date -u +%FT%TZ)"
+git add experiments/ref20_posttrain_summary.json 2>/dev/null && \
+  git commit -q -m "ref20: post-training eval summary (local_all 1:1+1:n, ijbc both jobs)" \
+    -- experiments/ref20_posttrain_summary.json 2>/dev/null
+exit "$rc"
