@@ -293,6 +293,16 @@ def main():
             f"trained on ({trained!r}, from {marker}); evaluating across "
             "universes produces garbage TPR tables")
     summary = {"run_dir": args.run_dir, "spec": spec}
+
+    def flush_summary():
+        # incremental + atomic: a deadline kill mid-chain (the posttrain
+        # deadman frees the chip for the driver bench) must not lose the
+        # phases that DID complete
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(summary, f, indent=2)
+        os.replace(tmp, args.out)
+
     ckpt, rnd = newest_backbone(args.run_dir)
     summary["checkpoint"] = ckpt
     summary["round"] = rnd
@@ -304,36 +314,10 @@ def main():
         scale = dict(n_subjects=12, n_probe_templates=36, n_images=600,
                      n_pairs=2000)
 
-    if not args.skip_ijbc:
-        # build in a subprocess: device generation attaches the TPU, and a
-        # parent holding a live client would contend with the CLI below
-        code = ("import sys; sys.path.insert(0, %r); "
-                "sys.path.insert(0, %r); "
-                "from posttrain_eval_tpu import build_synth_ijbc_root; "
-                "build_synth_ijbc_root(%r, %r, n_subjects=%d, "
-                "n_probe_templates=%d, n_images=%d, n_pairs=%d)" % (
-                    REPO, os.path.join(REPO, "experiments"), args.ijbc_root,
-                    spec, scale["n_subjects"], scale["n_probe_templates"],
-                    scale["n_images"], scale["n_pairs"]))
-        dt = run([sys.executable, "-c", code],
-                 stall_timeout=args.stall_timeout or None)
-        summary["ijbc_build_s"] = round(dt, 1)
-
-        dt = run([sys.executable, "ijbc_all.py",
-                  "--model-prefix", ckpt, "--root-path", args.ijbc_root,
-                  "--result-dir", args.run_dir, "--epoch", str(rnd),
-                  "--network", args.network,
-                  "--embedding_size", str(args.embedding_size),
-                  "--batch-size", str(args.batch_size),
-                  "--job", "both", "--use_flip_test"],
-                 stall_timeout=args.stall_timeout or None)
-        summary["ijbc_both_jobs_s"] = round(dt, 1)
-        for job in ("1:1", "1:n"):
-            log = os.path.join(args.run_dir, f"ijbc-{job}", "log.txt")
-            if os.path.exists(log):
-                summary[f"ijbc_{job}_log_tail"] = open(log).read()[-2000:]
-        summary.update(parse_ijbc_logs(args.run_dir))
-
+    # local personalization first: it is the FedFR headline (40 per-client
+    # transformation-layer branches) and an order of magnitude cheaper than
+    # the protocol-scale IJB-C build — under a session deadline, a mid-chain
+    # kill must preserve the most important tables
     if not args.skip_local:
         sp_clients = int(spec_val(spec, "clients"))
         sp_ids = sp_clients * int(spec_val(spec, "ids_per_client"))
@@ -352,16 +336,48 @@ def main():
                       "--batch_size", "512"],
                      stall_timeout=args.stall_timeout or None)
             summary[f"local_{task}_s"] = round(dt, 1)
-        log = os.path.join(args.run_dir, "local_log.txt")
-        if os.path.exists(log):
-            text = open(log).read()
-            summary["local_log_tail"] = text[-4000:]
-            summary.update(parse_local_log(text))
+            log = os.path.join(args.run_dir, "local_log.txt")
+            if os.path.exists(log):
+                text = open(log).read()
+                summary["local_log_tail"] = text[-4000:]
+                summary.update(parse_local_log(text))
+            flush_summary()
+
+    if not args.skip_ijbc:
+        # build in a subprocess: device generation attaches the TPU, and a
+        # parent holding a live client would contend with the CLI below
+        code = ("import sys; sys.path.insert(0, %r); "
+                "sys.path.insert(0, %r); "
+                "from posttrain_eval_tpu import build_synth_ijbc_root; "
+                "build_synth_ijbc_root(%r, %r, n_subjects=%d, "
+                "n_probe_templates=%d, n_images=%d, n_pairs=%d)" % (
+                    REPO, os.path.join(REPO, "experiments"), args.ijbc_root,
+                    spec, scale["n_subjects"], scale["n_probe_templates"],
+                    scale["n_images"], scale["n_pairs"]))
+        dt = run([sys.executable, "-c", code],
+                 stall_timeout=args.stall_timeout or None)
+        summary["ijbc_build_s"] = round(dt, 1)
+        flush_summary()
+
+        dt = run([sys.executable, "ijbc_all.py",
+                  "--model-prefix", ckpt, "--root-path", args.ijbc_root,
+                  "--result-dir", args.run_dir, "--epoch", str(rnd),
+                  "--network", args.network,
+                  "--embedding_size", str(args.embedding_size),
+                  "--batch-size", str(args.batch_size),
+                  "--job", "both", "--use_flip_test"],
+                 stall_timeout=args.stall_timeout or None)
+        summary["ijbc_both_jobs_s"] = round(dt, 1)
+        for job in ("1:1", "1:n"):
+            log = os.path.join(args.run_dir, f"ijbc-{job}", "log.txt")
+            if os.path.exists(log):
+                summary[f"ijbc_{job}_log_tail"] = open(log).read()[-2000:]
+        summary.update(parse_ijbc_logs(args.run_dir))
+        flush_summary()
 
     print(json.dumps({k: v for k, v in summary.items()
                       if not k.endswith("_tail")}, indent=2))
-    with open(args.out, "w") as f:
-        json.dump(summary, f, indent=2)
+    flush_summary()
 
 
 if __name__ == "__main__":

@@ -60,8 +60,13 @@ while kill -0 "$pid" 2>/dev/null; do
     esac
     cmp -s "$f" "$out" 2>/dev/null || { cp "$f" "$out" && changed=1; }
   done
-  [ "$changed" = 1 ] && git add "$DEST" 2>/dev/null && \
-    git commit -q -m "ref20 posttrain evidence sync" -- "$DEST" 2>/dev/null
+  # the chain flushes its summary incrementally (phase granularity) —
+  # commit each phase's results the moment they land
+  git add "$DEST" 2>/dev/null
+  [ -f experiments/ref20_posttrain_summary.json ] && \
+    git add experiments/ref20_posttrain_summary.json 2>/dev/null
+  git diff --cached --quiet 2>/dev/null || \
+    git commit -q -m "ref20 posttrain evidence sync" 2>/dev/null
 done
 wait "$pid"
 rc=$?
