@@ -366,6 +366,12 @@ def main():
                     "round balloons ~15x.  Calibrate with "
                     "experiments/hn_probe.py to the unhardened mined "
                     "fraction (~27k imgs/client): expr=0.6,noise=25 -> 0.71")
+    ap.add_argument("--hn_cap", type=int, default=0,
+                    help="cap the mined set at the N hardest public images "
+                    "(train.py --HN_cap; 0 = uncapped reference semantics). "
+                    "Safety valve for single-shot budgeted runs where an "
+                    "uncalibrated threshold ballooning mining would blow the "
+                    "wall-clock budget")
     args = ap.parse_args()
 
     if args.pgid_file:
@@ -523,6 +529,7 @@ def main():
            "--round_ckpt_every", str(args.round_ckpt_every),
            "--round_ckpt_keep", "2",
            "--HN_threshold", str(args.hn_threshold),
+           "--HN_cap", str(args.hn_cap),
            "--scan_blocks"]
     if args.resume:
         cmd.append("--resume")

@@ -117,6 +117,12 @@ class FederatedConfig:
                                         # 'fc': FC-row mining (choose_hard_negative,
                                         # client.py:227-267)
     hn_fc_threshold: float = 0.2        # FC-row mining threshold (client.py:227)
+    hn_cap: int = 0                     # 0 = reference semantics (everything above
+                                        # threshold).  >0 caps the mined set at the
+                                        # N HARDEST public images (top-N by max
+                                        # cos-sim) — a bounded-cost safety valve for
+                                        # universes where the fixed threshold would
+                                        # saturate mining (DESIGN.md)
     num_local_eval_clients: int = 10    # clients sampled for per-round local 1:1 eval
     client_parallel: bool = True        # train clients concurrently over the mesh
                                         # 'client' axis instead of sequentially

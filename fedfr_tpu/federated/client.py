@@ -20,7 +20,8 @@ from ..config import FedFRConfig
 from ..data.datasets import BatchLoader, CombinedDataset, FaceRecordDataset
 from ..data.pipeline import DevicePrefetcher
 from ..utils.optim import step_lr
-from .embed import auto_embed_fn, class_mean_features, embed_dataset, hard_negative_mask
+from .embed import (auto_embed_fn, class_mean_features, embed_dataset,
+                    hard_negative_mask, max_similarity)
 from .trainer import (init_client_state, make_branch_train_step,
                       make_plain_train_step, use_cached_contrastive)
 
@@ -147,8 +148,19 @@ class Client:
         local_feats, _ = embed_dataset(self._embed_fn, backbone_vars, self.dataset,
                                        self.cfg.data.eval_batch_size, l2norm=True,
                                        return_device=True)
-        mask = hard_negative_mask(local_feats, public_feats,
-                                  self.cfg.fed.hn_threshold)
+        scores = max_similarity(local_feats, public_feats)
+        mask = scores > self.cfg.fed.hn_threshold
+        cap = self.cfg.fed.hn_cap
+        if cap and int(mask.sum()) > cap:
+            # bounded-cost variant: keep only the cap HARDEST images (highest
+            # max cos-sim).  Deterministic: argsort on scores with the image
+            # index as tiebreak via stable kind.
+            over = np.nonzero(mask)[0]
+            keep = over[np.argsort(scores[over], kind="stable")[::-1][:cap]]
+            mask = np.zeros_like(mask)
+            mask[keep] = True
+            logger.info("client %d: mining capped at %d hardest (of %d above "
+                        "threshold)", self.cid, cap, len(over))
         imgidx = np.nonzero(mask)[0] + 1  # record keys are 1-based
         num_ids = len(np.unique(public_labels[mask])) if mask.any() else 0
         logger.info("client %d: %d imgs (%d IDs) hard negative @ > %.2f",

@@ -443,6 +443,44 @@ def test_round_with_fc_mining(fl_root):
         assert server.clients[cid].trained_backbone is not None
 
 
+def test_feature_mining_cap_keeps_hardest(fl_root):
+    """fed.hn_cap bounds the mined set at the cap HARDEST public images
+    (highest max cos-sim).  With hn_threshold=-1 every public image is above
+    threshold, so the capped subset must be exactly the top-`cap` by score
+    and uncapped runs must keep everything (reference semantics,
+    client.py:191-224 has no cap)."""
+    from fedfr_tpu.federated.embed import max_similarity
+
+    cfg = _tiny_cfg(fl_root, hn_cap=3)
+    data = AllClientData(cfg)
+    server = Server(cfg, data)
+    client = server.clients[0]
+    public_labels = data.public_dataset.all_labels()
+    n_pub = len(public_labels)
+    assert n_pub > 3
+
+    gvars = server.federated_vars
+    feats, _ = embed_dataset(client._embed_fn, gvars,
+                             data.public_dataset, cfg.data.eval_batch_size,
+                             l2norm=True)
+    local_feats, _ = embed_dataset(client._embed_fn, gvars,
+                                   client.dataset, cfg.data.eval_batch_size,
+                                   l2norm=True)
+    scores = max_similarity(np.asarray(local_feats), np.asarray(feats))
+    expect = np.sort(np.argsort(scores, kind="stable")[::-1][:3] + 1)
+
+    subset = client.select_hard_negatives(gvars,
+                                          data.public_dataset,
+                                          np.asarray(feats), public_labels)
+    np.testing.assert_array_equal(np.sort(np.asarray(subset.imgidx)), expect)
+
+    client.cfg.fed.hn_cap = 0
+    subset_all = client.select_hard_negatives(gvars,
+                                              data.public_dataset,
+                                              np.asarray(feats), public_labels)
+    assert len(subset_all.imgidx) == n_pub
+
+
 def test_hard_negative_mask_threshold():
     feats = np.eye(4, dtype=np.float32)
     public = np.concatenate([np.eye(4, dtype=np.float32),

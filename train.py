@@ -47,6 +47,7 @@ def build_config(args) -> "FedFRConfig":
     cfg.fed.reweight_cosface = args.reweight_cosface
     cfg.fed.hn_strategy = args.hn_strategy
     cfg.fed.hn_threshold = args.HN_threshold
+    cfg.fed.hn_cap = getattr(args, "HN_cap", 0)
     cfg.fed.aggr_alg = args.aggr_alg
     cfg.runtime.output_dir = args.output_dir
     cfg.runtime.pretrained_root = args.pretrained_root
@@ -338,6 +339,9 @@ if __name__ == "__main__":
                              "(choose_hard_negative)")
     parser.add_argument("--HN_threshold", default=0.4, type=float,
                         help="feature-mining cosine threshold (config.py:28)")
+    parser.add_argument("--HN_cap", default=0, type=int,
+                        help="cap the mined set at the N hardest public images "
+                             "(0 = uncapped reference semantics)")
     # paths (the reference hardcodes these in config.py; here they are flags)
     parser.add_argument("--rec_root", default="", help="dataset root")
     parser.add_argument("--val_root", default="", help=".bin verification dir")
