@@ -190,6 +190,16 @@ def main(args):
             tlog(gstep, meter, epoch)
         logger.info("epoch %d done, lr %.5f", epoch, lr)
 
+        # artifact + resume-state save: every --save_every epochs and always
+        # on the final epoch.  The save is NOT cheap relative to small-
+        # universe epochs (fetch + compress + write ~570 MB ≈ 85 s on the
+        # tunneled dev rig vs ~7 s of compute for a 39-step epoch), so
+        # budgeted runs save at a coarser cadence; the reference saves every
+        # epoch (train_pretrain.py), which --save_every 1 (default) matches.
+        if ((epoch + 1) % getattr(args, "save_every", 1) != 0
+                and epoch != args.num_epoch - 1):
+            continue
+
         # ONE bounded-slice fetch per tree per epoch (chunked_device_get:
         # >8 MB single buffers collapse ~50x on some transports, and the
         # 98 MB fc1 leaf was previously pulled twice)
@@ -250,6 +260,10 @@ if __name__ == "__main__":
                         help="backbone dropout before the embedding fc")
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--scan_blocks", action="store_true")
+    parser.add_argument("--save_every", type=int, default=1,
+                        help="save artifacts + resume state every N epochs "
+                             "(always saves the final epoch); 1 matches the "
+                             "reference's per-epoch cadence")
     parser.add_argument("--resume", action="store_true",
                         help="resume from pretrain_state.npz (weight + "
                              "momentum, PartialFC partial_fc.py:41-54 parity)")
