@@ -14,11 +14,14 @@
 # device.  Evidence (posttrain log + ijbc log tables + summary JSONs) is
 # committed as it lands, so a rig wipe mid-chain loses nothing measured.
 #
-# Usage: sh experiments/ref20_posttrain_watch.sh [work_dir] [deadline_file]
+# Usage: sh experiments/ref20_posttrain_watch.sh [work_dir] [deadline_file] \
+#            [evidence_dest] [tag]
 set -u
 W=${1:-/root/repo/artifacts/ref20}
 DLF=${2:-/root/repo/artifacts/ref20.deadline}
 REPO=/root/repo
+DEST=${3:-$REPO/experiments/ref20_live}
+TAG=${4:-ref20}
 cd "$REPO"
 while [ ! -f "$W/summary.json" ]; do
   # stop waiting if the deadman's deadline has passed (the run was killed;
@@ -29,14 +32,14 @@ while [ ! -f "$W/summary.json" ]; do
 done
 echo "summary.json found at $(date -u +%FT%TZ); launching posttrain chain"
 python experiments/harvest_fullscale.py --run_dir "$W/run" \
-  --out experiments/ref20_summary.json || true
-git add experiments/ref20_summary.json 2>/dev/null && \
-  git commit -q -m "ref20: harvest run summary" \
-    -- experiments/ref20_summary.json 2>/dev/null
+  --out "experiments/${TAG}_summary.json" || true
+git add "experiments/${TAG}_summary.json" 2>/dev/null && \
+  git commit -q -m "$TAG: harvest run summary" \
+    -- "experiments/${TAG}_summary.json" 2>/dev/null
 
 setsid python experiments/posttrain_eval_tpu.py \
   --run_dir "$W/run" --ijbc_root "$W/ijbc" \
-  --out experiments/ref20_posttrain_summary.json \
+  --out "experiments/${TAG}_posttrain_summary.json" \
   >> "$REPO/artifacts/posttrain.log" 2>&1 &
 pid=$!
 pg=$(ps -o pgid= -p "$pid" | tr -d ' ')
@@ -46,7 +49,6 @@ nohup sh experiments/ref20_deadman.sh "$REPO/artifacts/posttrain.pid" \
 
 # mini evidence sync for the posttrain phase (the main sync loop tracks the
 # training work dir's fixed file list, not the ijbc log tables)
-DEST=$REPO/experiments/ref20_live
 while kill -0 "$pid" 2>/dev/null; do
   sleep 120
   changed=0
@@ -63,15 +65,15 @@ while kill -0 "$pid" 2>/dev/null; do
   # the chain flushes its summary incrementally (phase granularity) —
   # commit each phase's results the moment they land
   git add "$DEST" 2>/dev/null
-  [ -f experiments/ref20_posttrain_summary.json ] && \
-    git add experiments/ref20_posttrain_summary.json 2>/dev/null
+  [ -f "experiments/${TAG}_posttrain_summary.json" ] && \
+    git add "experiments/${TAG}_posttrain_summary.json" 2>/dev/null
   git diff --cached --quiet 2>/dev/null || \
-    git commit -q -m "ref20 posttrain evidence sync" 2>/dev/null
+    git commit -q -m "$TAG posttrain evidence sync" 2>/dev/null
 done
 wait "$pid"
 rc=$?
 echo "posttrain chain exited rc=$rc at $(date -u +%FT%TZ)"
-git add experiments/ref20_posttrain_summary.json 2>/dev/null && \
-  git commit -q -m "ref20: post-training eval summary (local_all 1:1+1:n, ijbc both jobs)" \
-    -- experiments/ref20_posttrain_summary.json 2>/dev/null
+git add "experiments/${TAG}_posttrain_summary.json" 2>/dev/null && \
+  git commit -q -m "$TAG: post-training eval summary (local_all 1:1+1:n, ijbc both jobs)" \
+    -- "experiments/${TAG}_posttrain_summary.json" 2>/dev/null
 exit "$rc"

@@ -9,11 +9,12 @@
 # they changed, so every completed round's evidence is durable the moment
 # it is logged — a wipe can cost resumability, never measurements.
 #
-# Usage: sh experiments/ref20_sync.sh [work_dir] [sync_seconds]
+# Usage: sh experiments/ref20_sync.sh [work_dir] [sync_seconds] [dest] [hlog]
 set -u
 WORK=${1:-/root/repo/artifacts/ref20}
 SYNC=${2:-300}
-DEST=/root/repo/experiments/ref20_live
+DEST=${3:-/root/repo/experiments/ref20_live}
+HLOG=${4:-/root/repo/artifacts/ref20.log}
 mkdir -p "$DEST"
 cd /root/repo
 while :; do
@@ -26,9 +27,9 @@ while :; do
       cp "$src" "$out" && changed=1
     fi
   done
-  if [ -f /root/repo/artifacts/ref20.log ] && \
-     ! cmp -s /root/repo/artifacts/ref20.log "$DEST/harness.log"; then
-    cp /root/repo/artifacts/ref20.log "$DEST/harness.log" && changed=1
+  if [ -f "$HLOG" ] && \
+     ! cmp -s "$HLOG" "$DEST/harness.log"; then
+    cp "$HLOG" "$DEST/harness.log" && changed=1
   fi
   if [ "$changed" = 1 ]; then
     # tolerate index-lock races with interactive commits: skip this tick,
