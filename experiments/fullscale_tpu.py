@@ -333,19 +333,24 @@ def main():
     ap.add_argument("--stall_timeout", type=float, default=1800,
                     help="watchdog: restart train.py (with --resume) after "
                     "this many seconds of output silence; 0 disables")
-    def positive_int(v):
-        # 0 would disable round checkpoints entirely while the stall
-        # watchdog still relaunches with --resume — every restart would
-        # silently start over at round 0, burning max_restarts full-run
-        # attempts.  The harness's losslessness contract requires >= 1.
+    def ckpt_cadence(v):
+        # 0 disables round checkpoints while the stall watchdog still
+        # relaunches with --resume — every restart silently starts over at
+        # round 0, burning max_restarts full-run attempts.  Long programs
+        # must keep >= 1; short deadline-boxed sprints may accept the risk
+        # explicitly (0 prints a loud warning at launch).
         iv = int(v)
-        if iv < 1:
+        if iv < 0:
             raise argparse.ArgumentTypeError(
-                "--round_ckpt_every must be >= 1: the watchdog's "
-                "resume-based restarts need round checkpoints to exist")
+                "--round_ckpt_every must be >= 0")
+        if iv == 0:
+            print("WARNING: --round_ckpt_every 0 — no resume state will be "
+                  "written; any watchdog restart starts over at round 0 "
+                  "(train.py still exports the FINAL round's backbone for "
+                  "the post-training ritual)", flush=True)
         return iv
 
-    ap.add_argument("--round_ckpt_every", type=positive_int, default=1,
+    ap.add_argument("--round_ckpt_every", type=ckpt_cadence, default=1,
                     help="checkpoint cadence (train.py --round_ckpt_every); "
                     "raise to amortize the ~7.6 GB resume-state device fetch "
                     "over several rounds at the cost of coarser restart "

@@ -39,9 +39,20 @@ if [ "$MODE" = resume ]; then
 else
   EXTRA="--pretrain_epochs 12"
 fi
+# ROUNDS/ckpt/cache re-scoped live (2026-08-21 05:35): the lite universe
+# exposed a ~10 s/client tunnel-latency floor (mining + prep round-trips)
+# that volume knobs cannot shrink — measured round-0 client cadence 12-13 s
+# at 960 imgs/client vs 11 s at 5.6k imgs full-scale.  20 rounds x 40
+# clients x 10 s = 133 min of client loop alone: impossible in the session
+# remainder.  A COMPLETED program + the never-yet-run posttrain ritual
+# outranks more incomplete rounds, so: 4 rounds (the full adaptive-epoch
+# decay arc 10->8->6->4), no mid-run resume state (--round_ckpt_every 0;
+# train.py still exports the final backbone), no contrastive cache (at
+# ~1k imgs/client the per-client cache build costs more than the frozen
+# forwards it saves — the cache pays at 45k imgs, DESIGN.md).
 setsid python experiments/fullscale_tpu.py --work_dir "$W" \
-  --rounds 20 $EXTRA --cache_contrastive --ckpt_async \
-  --round_ckpt_every 10 \
+  --rounds 4 $EXTRA \
+  --round_ckpt_every 0 \
   --spec_extra "$SPEC_EXTRA" \
   --hn_threshold 0.40 --hn_cap 4000 \
   --stall_timeout 1200 --max_restarts 30 \

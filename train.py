@@ -212,7 +212,11 @@ def main(args):
             # post-training ritual (README.md:20-56, ijbc on the final
             # checkpoint) must not silently evaluate round N-(N%rce)
             is_final = server.global_round == cfg.fed.total_rounds - 1
-            if rce and (server.global_round % rce == 0 or is_final):
+            # the cheap (~10 s) backbone export runs on the final round even
+            # with --round_ckpt_every 0 (the ritual's input); the EXPENSIVE
+            # resume-state fetch below stays strictly cadence-gated — a
+            # completed run has no use for resume state
+            if (rce and server.global_round % rce == 0) or is_final:
                 # falls back to .npz internally when the network has no
                 # torch-export geometry (Server.save_round_checkpoint)
                 with server.timer.span("phase/torch_export"):
